@@ -1,0 +1,139 @@
+"""Binary morphology on device — the jnp equivalents of the cv2 calls
+in the reference mask cleaners (clean_complete.py:69-103,
+clean_masks.py:12-32): erosion/dilation with elliptical structuring
+elements via shifted max/min (VPU-only, XLA-fused), flood-fill hole
+filling via iterative propagation under `lax.while_loop`.
+
+Masks are HxW bool (vmap for batches).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=None)
+def ellipse_kernel(ksize: int) -> tuple:
+    """cv2.getStructuringElement(MORPH_ELLIPSE, (k,k)) offsets as a
+    tuple of (dy, dx). Uses cv2 when available (compile-time constant),
+    else the same inscribed-ellipse formula."""
+    try:
+        import cv2
+        k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+    except Exception:
+        r = ksize // 2
+        yy, xx = np.mgrid[-r:r + 1, -r:r + 1]
+        k = ((xx / max(r, 1)) ** 2 + (yy / max(r, 1)) ** 2 <= 1.0 + 1e-9)
+        k = k.astype(np.uint8)
+    r = ksize // 2
+    offs = [(int(dy) - r, int(dx) - r) for dy, dx in np.argwhere(k > 0)]
+    return tuple(offs)
+
+
+def square_kernel(ksize: int) -> tuple:
+    r = ksize // 2
+    return tuple((dy, dx) for dy in range(-r, ksize - r)
+                 for dx in range(-r, ksize - r))
+
+
+def _shift_fill(x, dy: int, dx: int, fill):
+    out = jnp.roll(x, (dy, dx), axis=(0, 1))
+    if dy > 0:
+        out = out.at[:dy, :].set(fill)
+    elif dy < 0:
+        out = out.at[dy:, :].set(fill)
+    if dx > 0:
+        out = out.at[:, :dx].set(fill)
+    elif dx < 0:
+        out = out.at[:, dx:].set(fill)
+    return out
+
+
+def dilate(mask, ksize: int = 3, shape: str = "ellipse"):
+    """Binary dilation; border behaves like cv2 (constant 0 outside)."""
+    mask = jnp.asarray(mask, bool)
+    offs = ellipse_kernel(ksize) if shape == "ellipse" else square_kernel(ksize)
+    out = jnp.zeros_like(mask)
+    for dy, dx in offs:
+        out = out | _shift_fill(mask, dy, dx, False)
+    return out
+
+
+def erode(mask, ksize: int = 3, shape: str = "ellipse"):
+    """Binary erosion; border pixels outside count as fg (cv2's +inf
+    constant border for erode)."""
+    mask = jnp.asarray(mask, bool)
+    offs = ellipse_kernel(ksize) if shape == "ellipse" else square_kernel(ksize)
+    out = jnp.ones_like(mask)
+    for dy, dx in offs:
+        out = out & _shift_fill(mask, dy, dx, True)
+    return out
+
+
+def morph_open(mask, ksize: int = 3, shape: str = "ellipse"):
+    return dilate(erode(mask, ksize, shape), ksize, shape)
+
+
+def morph_close(mask, ksize: int = 7, shape: str = "ellipse"):
+    return erode(dilate(mask, ksize, shape), ksize, shape)
+
+
+def _propagate(reachable, allowed, max_iter: int):
+    """Grow `reachable` through `allowed` (4-connected dilation) until
+    fixpoint or max_iter. Early-exits via while_loop change detection."""
+    def grow(r):
+        g = r
+        g = g | _shift_fill(r, 1, 0, False) | _shift_fill(r, -1, 0, False)
+        g = g | _shift_fill(r, 0, 1, False) | _shift_fill(r, 0, -1, False)
+        return g & allowed
+
+    def cond(state):
+        r, changed, i = state
+        return changed & (i < max_iter)
+
+    def body(state):
+        r, _, i = state
+        nr = grow(r)
+        return nr, jnp.any(nr != r), i + 1
+
+    r, _, _ = jax.lax.while_loop(cond, body, (reachable, jnp.bool_(True), 0))
+    return r
+
+
+def fill_holes_from_border(mask, max_iter: int = 4096):
+    """Fill ALL holes: background not flood-reachable from the border
+    becomes fg — the `clean_mask` flood-fill (clean_masks.py:12-32)."""
+    mask = jnp.asarray(mask, bool)
+    bg = ~mask
+    border = jnp.zeros_like(bg).at[0, :].set(True).at[-1, :].set(True) \
+        .at[:, 0].set(True).at[:, -1].set(True)
+    outside = _propagate(border & bg, bg, max_iter)
+    return mask | (bg & ~outside)
+
+
+def fill_small_holes(mask, max_hole_area_frac: float = 0.004,
+                     max_iter: int = 4096):
+    """Fill only holes with area <= frac * H * W, leaving big holes and
+    border-touching background — `fill_small_holes`
+    (clean_complete.py:69-83)."""
+    from cartseg_tpu.ops.connected_components import connected_components
+
+    mask = jnp.asarray(mask, bool)
+    H, W = mask.shape
+    max_area = jnp.floor(H * W * max_hole_area_frac)  # int() truncation
+    bg = ~mask
+    labels = connected_components(bg, max_iter=max_iter)
+    flat = labels.reshape(-1)
+    size = H * W
+    areas = jnp.zeros((size + 1,), jnp.int32).at[flat].add(
+        bg.reshape(-1).astype(jnp.int32))
+    border = jnp.zeros_like(bg).at[0, :].set(True).at[-1, :].set(True) \
+        .at[:, 0].set(True).at[:, -1].set(True)
+    touches = jnp.zeros((size + 1,), bool).at[flat].max(
+        (border & bg).reshape(-1))
+    fill = bg & (areas[labels] <= max_area) & ~touches[labels]
+    return mask | fill

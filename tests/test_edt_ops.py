@@ -1,0 +1,177 @@
+"""Jump-flood EDT vs scipy; morphology / connected components vs cv2."""
+
+import numpy as np
+import pytest
+import cv2
+from scipy import ndimage
+
+import jax.numpy as jnp
+
+from cartseg_tpu.ops import (
+    edt, distance_transform_edt,
+    erode, dilate, morph_open, morph_close,
+    fill_holes_from_border, fill_small_holes,
+    connected_components, keep_largest_component,
+    remove_small_components, count_components,
+    sobel_edges, mask_boundary, edge_hit_rate,
+)
+
+
+def _random_blobs(rng, h=64, w=64, n=4):
+    m = np.zeros((h, w), bool)
+    for _ in range(n):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = rng.integers(3, 12)
+        yy, xx = np.ogrid[:h, :w]
+        m |= (yy - cy) ** 2 + (xx - cx) ** 2 <= r ** 2
+    return m
+
+
+# ----------------------------------------------------------------- EDT
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_edt_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    seeds = rng.random((64, 64)) > 0.97
+    if not seeds.any():
+        seeds[10, 10] = True
+    ours = np.asarray(edt(jnp.asarray(seeds)))
+    # scipy: distance to nearest zero of ~seeds == nearest True of seeds
+    ref = ndimage.distance_transform_edt(~seeds)
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_edt_blobs_matches_scipy(rng):
+    m = _random_blobs(rng)
+    ours = np.asarray(distance_transform_edt(jnp.asarray(m)))
+    ref = ndimage.distance_transform_edt(m)
+    # 1+JFA is near-exact; allow rare off-by-tiny pixels
+    assert np.abs(ours - ref).max() < 0.5
+    assert np.abs(ours - ref).mean() < 0.01
+
+
+def test_edt_empty_seeds_is_inf():
+    d = np.asarray(edt(jnp.zeros((16, 16), bool)))
+    assert (d > 1e5).all()
+
+
+def test_edt_512_shape():
+    seeds = np.zeros((512, 512), bool)
+    seeds[256, 256] = True
+    d = np.asarray(edt(jnp.asarray(seeds)))
+    assert d[0, 0] == pytest.approx(np.hypot(256, 256), rel=1e-5)
+
+
+# ----------------------------------------------------------- morphology
+
+@pytest.mark.parametrize("ks", [3, 5, 7])
+def test_erode_dilate_match_cv2(ks, rng):
+    m = _random_blobs(rng).astype(np.uint8)
+    k = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ks, ks))
+    np.testing.assert_array_equal(
+        np.asarray(dilate(jnp.asarray(m > 0), ks)).astype(np.uint8),
+        cv2.dilate(m, k))
+    np.testing.assert_array_equal(
+        np.asarray(erode(jnp.asarray(m > 0), ks)).astype(np.uint8),
+        cv2.erode(m, k))
+
+
+def test_open_close_match_cv2(rng):
+    m = _random_blobs(rng).astype(np.uint8)
+    k3 = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    k7 = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+    np.testing.assert_array_equal(
+        np.asarray(morph_open(jnp.asarray(m > 0), 3)).astype(np.uint8),
+        cv2.morphologyEx(m, cv2.MORPH_OPEN, k3))
+    np.testing.assert_array_equal(
+        np.asarray(morph_close(jnp.asarray(m > 0), 7)).astype(np.uint8),
+        cv2.morphologyEx(m, cv2.MORPH_CLOSE, k7))
+
+
+def test_fill_holes_from_border():
+    m = np.zeros((32, 32), bool)
+    m[5:25, 5:25] = True
+    m[10:15, 10:15] = False  # a hole
+    filled = np.asarray(fill_holes_from_border(jnp.asarray(m)))
+    assert filled[12, 12]
+    assert not filled[0, 0]
+    assert filled.sum() == 20 * 20
+
+
+def test_fill_small_holes_respects_area():
+    m = np.ones((40, 40), bool)
+    m[0, :] = False  # border-touching bg must never fill
+    m[5:7, 5:7] = False       # 4 px hole
+    m[20:32, 20:32] = False   # 144 px hole
+    out = np.asarray(fill_small_holes(jnp.asarray(m), max_hole_area_frac=0.01))
+    assert out[5, 5]            # small hole filled (4 <= 16)
+    assert not out[25, 25]      # big hole kept
+    assert not out[0, 0]        # border bg kept
+
+
+# --------------------------------------------------- connected components
+
+def test_count_components_matches_cv2(rng):
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        m = _random_blobs(r, n=5)
+        num, _, _, _ = cv2.connectedComponentsWithStats(
+            m.astype(np.uint8), connectivity=8)
+        assert int(count_components(jnp.asarray(m))) == num - 1
+
+
+def test_keep_largest_matches_cv2(rng):
+    m = _random_blobs(rng, n=5)
+    num, labels, stats, _ = cv2.connectedComponentsWithStats(
+        m.astype(np.uint8), connectivity=8)
+    if num > 1:
+        largest = 1 + np.argmax(stats[1:, cv2.CC_STAT_AREA])
+        ref = labels == largest
+        ours = np.asarray(keep_largest_component(jnp.asarray(m)))
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_keep_largest_empty():
+    out = np.asarray(keep_largest_component(jnp.zeros((16, 16), bool)))
+    assert not out.any()
+
+
+def test_remove_small_components(rng):
+    m = np.zeros((32, 32), bool)
+    m[2:4, 2:4] = True      # 4 px
+    m[10:20, 10:20] = True  # 100 px
+    out = np.asarray(remove_small_components(jnp.asarray(m), min_area=10))
+    assert not out[2, 2]
+    assert out[15, 15]
+
+
+# ----------------------------------------------------------------- edges
+
+def test_mask_boundary_is_thin(rng):
+    m = np.zeros((32, 32), bool)
+    m[8:24, 8:24] = True
+    b = np.asarray(mask_boundary(jnp.asarray(m)))
+    assert b[8, 8] and b[8, 15] and b[23, 23]
+    assert not b[12, 12]
+    assert b.sum() == 16 * 4 - 4  # perimeter of a 16x16 square
+
+
+def test_edge_hit_rate_behaviour(rng):
+    # an image with a real intensity edge exactly on the mask boundary
+    img = np.zeros((64, 64, 3), np.float32)
+    img[:, 32:] = 255.0
+    m = np.zeros((64, 64), bool)
+    m[:, 32:] = True
+    high = float(edge_hit_rate(jnp.asarray(img), jnp.asarray(m)))
+    # same mask on a flat image -> no edges to hit
+    low = float(edge_hit_rate(jnp.zeros((64, 64, 3)), jnp.asarray(m)))
+    assert high > 0.4
+    assert low == 0.0
+
+
+def test_sobel_edges_on_step():
+    img = np.zeros((32, 32), np.float32)
+    img[:, 16:] = 255.0
+    e = np.asarray(sobel_edges(jnp.asarray(img)))
+    assert e[:, 15:17].any()
+    assert not e[:, :10].any()

@@ -1,0 +1,63 @@
+"""Model factory + param-group partitioning.
+
+`build_model(encoder_name)` mirrors the reference build_model calls
+(train_bce_dice.py:293-301 resnet34; src/train_with_pretrained.py:317-325
+efficientnet-b0; src/create_testset.py:40-83 classic).
+
+`param_groups` labels each param leaf encoder/decoder/head — the basis
+for freeze phases and per-group LRs via optax.multi_transform,
+replacing build_param_groups_for_smp (src/finetune_for_224.py:250-262).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cartseg_tpu.models.unet import UNet
+from cartseg_tpu.models.resnet import ResNetEncoder
+from cartseg_tpu.models.efficientnet import EfficientNetEncoder
+from cartseg_tpu.models.classic_unet import ClassicUNet
+
+
+def build_model(encoder_name: str = "resnet34", classes: int = 1,
+                dtype: jnp.dtype = jnp.float32) -> nn.Module:
+    if encoder_name == "resnet34":
+        enc = ResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=dtype,
+                            name="encoder")
+    elif encoder_name == "resnet18":
+        enc = ResNetEncoder(stage_sizes=(2, 2, 2, 2), dtype=dtype,
+                            name="encoder")
+    elif encoder_name == "efficientnet-b0":
+        enc = EfficientNetEncoder(dtype=dtype, name="encoder")
+    elif encoder_name == "classic":
+        return ClassicUNet(out_channels=classes, dtype=dtype)
+    else:
+        raise ValueError(f"unknown encoder {encoder_name!r}")
+    return UNet(encoder=enc, classes=classes, dtype=dtype)
+
+
+def init_model(model: nn.Module, rng: jax.Array,
+               input_shape: Tuple[int, int, int, int] = (1, 224, 224, 3)
+               ) -> Dict[str, Any]:
+    """Returns {'params': ..., 'batch_stats': ...} variables."""
+    x = jnp.zeros(input_shape, jnp.float32)
+    return model.init(rng, x, train=False)
+
+
+def param_groups(params) -> Any:
+    """Pytree of labels ('encoder'|'decoder'|'head') shaped like params,
+    for optax.multi_transform."""
+    def label_of(path) -> str:
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top == "encoder":
+            return "encoder"
+        if top == "segmentation_head":
+            return "head"
+        return "decoder"
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: label_of(path), params)

@@ -1,0 +1,117 @@
+"""Headline benchmark: train images/sec/chip at 224^2 on the reference
+baseline workload (resnet34 UNet, BCE+Dice, AdamW, on-device
+augmentation) — BASELINE.md's north-star metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference-equivalent torch CPU step
+(benchmarks/torch_reference.py), measured once and cached in
+BENCH_BASELINE.json (the reference publishes no numbers — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+HERE = Path(__file__).parent
+BASELINE_CACHE = HERE / "BENCH_BASELINE.json"
+
+IMG = 224
+BATCH = 32
+WARMUP_STEPS = 3
+MEASURE_STEPS = 30
+
+
+def baseline_images_per_sec() -> float:
+    if BASELINE_CACHE.exists():
+        return float(json.loads(BASELINE_CACHE.read_text())["images_per_sec"])
+    from benchmarks.torch_reference import measure_cpu_images_per_sec
+    v = measure_cpu_images_per_sec(img=IMG, batch=6)
+    BASELINE_CACHE.write_text(json.dumps(
+        {"images_per_sec": v, "what": "torch CPU resnet34-UNet BCE+Dice "
+         f"fwd+bwd+AdamW at {IMG}^2, reference train_bce_dice math"},
+        indent=2))
+    return v
+
+
+def tpu_images_per_sec() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from cartseg_tpu.data import AugmentConfig, augment_batch
+    from cartseg_tpu.losses import bce_dice_loss
+    from cartseg_tpu.models import build_model, init_model, param_groups
+    from cartseg_tpu.train.optim import (
+        init_adamw, group_id_tree, adamw_update,
+    )
+
+    model = build_model("resnet34", dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.key(0), (1, IMG, IMG, 3))
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = init_adamw(params)
+    gids = group_id_tree(param_groups(params))
+    aug = AugmentConfig.train_512()
+
+    @jax.jit
+    def step(params, stats, opt, images_u8, masks, key, lrs, active):
+        imgs, m = augment_batch(key, images_u8, masks, aug)
+
+        def loss_fn(p):
+            out, upd = model.apply({"params": p, "batch_stats": stats},
+                                   imgs, train=True, mutable=["batch_stats"])
+            return bce_dice_loss(out, m), upd["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        new_params, new_opt = adamw_update(params, grads, opt, gids,
+                                           lrs, active, 1e-4)
+        return new_params, new_stats, new_opt, loss
+
+    rng = np.random.default_rng(0)
+    n_buf = 4  # rotate host batches so no fortuitous caching
+    images = [jnp.asarray(rng.integers(0, 255, (BATCH, IMG, IMG, 3),
+                                       np.uint8)) for _ in range(n_buf)]
+    masks = [jnp.asarray((rng.random((BATCH, IMG, IMG, 1)) > 0.7)
+                         .astype(np.float32)) for _ in range(n_buf)]
+    lrs = jnp.asarray([1e-4] * 3, jnp.float32)
+    active = jnp.ones((3,), jnp.float32)
+    key = jax.random.key(1)
+
+    for i in range(WARMUP_STEPS):
+        key, k = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt,
+                                        images[i % n_buf], masks[i % n_buf],
+                                        k, lrs, active)
+    float(loss)  # block_until_ready is a no-op through the axon relay;
+    # a scalar readback of the loss (which depends on the whole step
+    # chain) is the only trustworthy sync on this runtime.
+
+    t0 = time.time()
+    for i in range(MEASURE_STEPS):
+        key, k = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt,
+                                        images[i % n_buf], masks[i % n_buf],
+                                        k, lrs, active)
+    float(loss)
+    dt = time.time() - t0
+    return BATCH * MEASURE_STEPS / dt
+
+
+def main():
+    base = baseline_images_per_sec()
+    ours = tpu_images_per_sec()
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip_224",
+        "value": round(ours, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ours / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,9 +43,13 @@ def build_model(encoder_name: str = "resnet34", classes: int = 1,
 def init_model(model: nn.Module, rng: jax.Array,
                input_shape: Tuple[int, int, int, int] = (1, 224, 224, 3)
                ) -> Dict[str, Any]:
-    """Returns {'params': ..., 'batch_stats': ...} variables."""
+    """Returns {'params': ..., 'batch_stats': ...} variables.
+
+    init is jitted: eager flax init dispatches every layer op
+    individually (~90s for the resnet UNet); one fused compile takes
+    a couple of seconds."""
     x = jnp.zeros(input_shape, jnp.float32)
-    return model.init(rng, x, train=False)
+    return jax.jit(lambda r: model.init(r, x, train=False))(rng)
 
 
 def param_groups(params) -> Any:

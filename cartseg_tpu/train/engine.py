@@ -1,0 +1,464 @@
+"""The training engine — one jit-compiled TrainState loop that replaces
+the reference's 14 copy-pasted train()/finetune() functions.
+
+TPU-native structure (contrast with SURVEY.md section 3.1's call stack):
+  * ONE compiled train step contains: on-device augmentation, bf16
+    forward, loss (incl. EDT-based boundary terms), backward, per-group
+    AdamW, BN stat update. LR/phase/curriculum values are traced scalars
+    — epochs and phase switches never recompile.
+  * No per-step host syncs: losses accumulate as device scalars and are
+    fetched once per epoch (the reference calls .item() every batch,
+    train_bce_dice.py:337).
+  * Input pipeline is thread-prefetched uint8; the augment runs on
+    device inside the step.
+  * DP scaling: batches sharded over a 1-D device mesh; XLA inserts the
+    gradient all-reduce.
+  * End-of-run threshold sweep is vectorized: one forward per val
+    batch, all thresholds at once (the reference re-infers the val set
+    13 times, train_bce_dice.py:214-232).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu import metrics as M
+from cartseg_tpu import losses as L
+from cartseg_tpu.data import (
+    AugmentConfig, augment_batch, Loader, SegmentationDataset,
+    gather_pairs, gather_pairs_multiroot, gather_pairs_mirror,
+    session_split, random_split,
+    MixedSource, mixed_sample_weights, WeightedSampler,
+    curriculum_weight, make_synthetic_tree,
+)
+from cartseg_tpu.data.pairing import session_split_seeded
+from cartseg_tpu.data.sampling import mixed_index_table
+from cartseg_tpu.models import build_model, init_model, param_groups
+from cartseg_tpu.parallel import data_mesh, shard_batch, replicate
+from cartseg_tpu.train.config import TrainConfig
+from cartseg_tpu.train.optim import (
+    AdamWState, init_adamw, group_id_tree, adamw_update,
+)
+from cartseg_tpu.train.schedules import cosine_epoch_lr, FreezePhase
+from cartseg_tpu.train import checkpoint as ckpt_lib
+from cartseg_tpu.utils.io import CSVLogger, JSONHistory
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt: AdamWState
+    step: jnp.ndarray
+
+
+# ---------------------------------------------------------------- losses
+
+def resolve_loss(spec) -> Callable:
+    """LossSpec -> fn(logits, masks, sample_w) -> (loss, components)."""
+    name, kw = spec.name, dict(spec.kwargs)
+
+    if name == "bce_dice":
+        def f(logits, masks, w):
+            return L.bce_dice_loss(logits, masks, **kw), {}
+    elif name == "bce_dice_per_sample":
+        def f(logits, masks, w):
+            per = L.bce_dice_per_sample(logits, masks, **kw)
+            return jnp.mean(per * w), {}
+    elif name == "focal_dice":
+        def f(logits, masks, w):
+            return L.focal_dice_loss(logits, masks, **kw), {}
+    elif name == "boundary":
+        def f(logits, masks, w):
+            return L.composite_seg_loss(logits, masks, **kw), {}
+    elif name == "bce_dice_abl":
+        def f(logits, masks, w):
+            total, comps = L.bce_dice_abl(logits, masks, **kw)
+            return total, comps
+    else:
+        raise ValueError(f"unknown loss {name!r}")
+    return f
+
+
+# ---------------------------------------------------------------- trainer
+
+class Trainer:
+    """Engine for every reference workload; see cartseg_tpu.workloads."""
+
+    def __init__(self, cfg: TrainConfig):
+        self.cfg = cfg
+        self.model = build_model(cfg.encoder, cfg.classes,
+                                 dtype=jnp.dtype(cfg.compute_dtype))
+        self.aug_cfg = self._augment_config()
+        self.val_aug_cfg = AugmentConfig.none(cfg.imagenet_norm)
+        self.loss_fn = resolve_loss(cfg.loss)
+        # DP mesh only when the global batch divides over the devices
+        self.mesh = data_mesh() if (
+            cfg.use_mesh and cfg.batch_size % len(jax.devices()) == 0
+        ) else None
+        self._compiled: Dict[str, Any] = {}
+
+    # ------------------------------------------------------------ setup
+
+    def _augment_config(self) -> AugmentConfig:
+        if self.cfg.augment == "train_512":
+            return AugmentConfig.train_512(self.cfg.imagenet_norm)
+        if self.cfg.augment == "train_224":
+            return AugmentConfig.train_224(self.cfg.imagenet_norm)
+        return AugmentConfig.none(self.cfg.imagenet_norm)
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        cfg = self.cfg
+        rng = rng if rng is not None else jax.random.key(cfg.seed)
+        variables = init_model(self.model, rng,
+                               (1, cfg.img_size[0], cfg.img_size[1], 3))
+        params, stats = variables["params"], variables.get("batch_stats", {})
+        if cfg.init_torch_checkpoint:
+            import torch
+            from cartseg_tpu.models.torch_import import import_smp_unet
+            sd = torch.load(cfg.init_torch_checkpoint, map_location="cpu")
+            sd = sd.get("model_state_dict", sd)
+            sd = {k: v.numpy() for k, v in sd.items()}
+            conv = import_smp_unet(sd, cfg.encoder)
+            params, stats = conv["params"], conv["batch_stats"]
+        elif cfg.init_checkpoint:
+            like = {"params": params, "batch_stats": stats}
+            tree = ckpt_lib.load_checkpoint(Path(cfg.init_checkpoint), like)
+            params, stats = tree["params"], tree["batch_stats"]
+        state = TrainState(params=params, batch_stats=stats,
+                           opt=init_adamw(params),
+                           step=jnp.zeros((), jnp.int32))
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    # ------------------------------------------------------- build data
+
+    def build_datasets(self):
+        """Returns (train_ds, val_ds, sampler_or_None, src_of_global)."""
+        cfg = self.cfg
+        if cfg.synthetic:
+            ir, mr = make_synthetic_tree(
+                cfg.out_path() / "synthetic",
+                n_sessions=cfg.synthetic_sessions,
+                per_session=cfg.synthetic_per_session, seed=cfg.seed)
+            cfg = dataclasses.replace(cfg, images_root=str(ir),
+                                      masks_root=str(mr))
+            self.cfg = cfg
+
+        size = cfg.img_size
+        if cfg.sources:
+            # mixed-source mode (finetune_for_224 / finetune_pseudo)
+            datasets, mixed = [], []
+            for s in cfg.sources:
+                pairs = gather_pairs_mirror(Path(s.images_root),
+                                            Path(s.masks_root))
+                datasets.append(SegmentationDataset(
+                    pairs, size, cfg.side_padding_ratio))
+                mixed.append(s)
+            # split the val_source (default: first) for validation
+            vi = next((i for i, s in enumerate(mixed)
+                       if s.name == (cfg.val_source or mixed[0].name)), 0)
+            tr_idx, va_idx = random_split(len(datasets[vi]), cfg.val_frac,
+                                          cfg.seed)
+            val_pairs = [datasets[vi].pairs[i] for i in va_idx]
+            val_ds = SegmentationDataset(val_pairs, size,
+                                         cfg.side_padding_ratio)
+            tr_pairs = [datasets[vi].pairs[i] for i in tr_idx]
+            datasets[vi] = SegmentationDataset(tr_pairs, size,
+                                               cfg.side_padding_ratio)
+            sources = [MixedSource(s.name, len(d), s.ratio, s.loss_weight)
+                       for s, d in zip(mixed, datasets)]
+            weights = mixed_sample_weights(sources)
+            # oversampling factors fold into the weights
+            ov = np.concatenate([[s.oversample] * len(d)
+                                 for s, d in zip(mixed, datasets)])
+            sampler = WeightedSampler(weights * ov,
+                                      num_samples=int(sum(len(d) for d in
+                                                          datasets)),
+                                      seed=cfg.seed)
+            table = mixed_index_table(sources)
+
+            class _Concat:
+                def __init__(self, dss, table):
+                    self.dss, self.table = dss, table
+                    self.pairs = [dss[si].pairs[li] for si, li in table]
+
+                def __len__(self):
+                    return len(self.table)
+
+                def __getitem__(self, i):
+                    si, li = self.table[i]
+                    return self.dss[si][li]
+
+            train_ds = _Concat(datasets, table)
+            src_of_global = np.asarray([si for si, _ in table], np.int32)
+            return train_ds, val_ds, sampler, src_of_global
+
+        # single (or multi-root) pair mode
+        if cfg.image_roots:
+            pairs = gather_pairs_multiroot(
+                [Path(r) for r in cfg.image_roots], Path(cfg.masks_root),
+                seed=cfg.seed)
+        else:
+            pairs = gather_pairs(Path(cfg.images_root), Path(cfg.masks_root))
+        if not pairs:
+            raise RuntimeError("no image/mask pairs found")
+        if cfg.split == "session_sorted":
+            tr, va = session_split(pairs, cfg.val_frac)
+        elif cfg.split == "session_seeded":
+            tr, va = session_split_seeded(pairs, cfg.val_frac, cfg.seed)
+        else:
+            tr, va = random_split(len(pairs), cfg.val_frac, cfg.seed)
+        train_ds = SegmentationDataset([pairs[i] for i in tr], size,
+                                       cfg.side_padding_ratio)
+        val_ds = SegmentationDataset([pairs[i] for i in va], size,
+                                     cfg.side_padding_ratio)
+        return train_ds, val_ds, None, None
+
+    # ----------------------------------------------------- jitted steps
+
+    def _train_step_fn(self):
+        model, loss_fn, aug_cfg = self.model, self.loss_fn, self.aug_cfg
+        wd = self.cfg.weight_decay
+
+        @jax.jit
+        def step(state: TrainState, images_u8, masks, sample_w, key,
+                 lrs, active, gids):
+            imgs, m = augment_batch(key, images_u8, masks, aug_cfg)
+
+            def compute(params):
+                out, upd = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imgs, train=True, mutable=["batch_stats"])
+                loss, comps = loss_fn(out, m, sample_w)
+                return loss, (upd["batch_stats"], comps)
+
+            (loss, (bs, comps)), grads = jax.value_and_grad(
+                compute, has_aux=True)(state.params)
+            new_params, new_opt = adamw_update(
+                state.params, grads, state.opt, gids, lrs, active, wd)
+            new_state = state.replace(params=new_params, batch_stats=bs,
+                                      opt=new_opt, step=state.step + 1)
+            return new_state, loss, comps
+
+        return step
+
+    def _eval_step_fn(self):
+        model, loss_fn = self.model, self.loss_fn
+        val_aug = self.val_aug_cfg
+
+        @jax.jit
+        def step(state: TrainState, images_u8, masks):
+            from cartseg_tpu.data.augment import normalize_batch
+            imgs = normalize_batch(images_u8.astype(jnp.float32),
+                                   val_aug.mean, val_aug.std)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imgs, train=False)
+            loss, _ = loss_fn(out, masks, jnp.ones((imgs.shape[0],)))
+            suite = M.eval_suite(out, masks)
+            return loss, suite
+
+        return step
+
+    def _sweep_step_fn(self, thresholds):
+        model = self.model
+        val_aug = self.val_aug_cfg
+        ts = jnp.asarray(thresholds, jnp.float32)
+
+        @jax.jit
+        def step(state: TrainState, images_u8, masks):
+            from cartseg_tpu.data.augment import normalize_batch
+            imgs = normalize_batch(images_u8.astype(jnp.float32),
+                                   val_aug.mean, val_aug.std)
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                imgs, train=False)
+            dice, iou = M.threshold_sweep_stats(out, masks, ts)
+            return dice, iou
+
+        return step
+
+    # ------------------------------------------------------------- fit
+
+    def fit(self, state: Optional[TrainState] = None,
+            log: Callable[[str], None] = print) -> Dict[str, Any]:
+        cfg = self.cfg
+        out = cfg.out_path()
+        train_ds, val_ds, sampler, src_of_global = self.build_datasets()
+        log(f"train={len(train_ds)} val={len(val_ds)} pairs; "
+            f"mesh={'x'.join(str(d) for d in [len(jax.devices())]) if self.mesh else 'off'}")
+
+        state = state if state is not None else self.init_state()
+        gids = group_id_tree(param_groups(state.params))
+        phase = FreezePhase(cfg.freeze_encoder_epochs,
+                            cfg.unfreeze_encoder_lr_scale)
+
+        sharding = None
+        if self.mesh is not None:
+            from cartseg_tpu.parallel import batch_sharding
+            sharding = batch_sharding(self.mesh)
+        loader = Loader(train_ds, cfg.batch_size,
+                        num_threads=cfg.num_threads, sharding=sharding)
+        val_loader = Loader(val_ds, cfg.batch_size, drop_last=False,
+                            num_threads=cfg.num_threads, sharding=sharding)
+        # static shapes for XLA: pad val to full batches
+        val_loader.drop_last = False
+
+        train_step = self._train_step_fn()
+        eval_step = self._eval_step_fn()
+
+        schema = {
+            "basic": ["epoch", "train_loss", "val_loss", "val_dice",
+                      "val_iou"],
+            "prf1": ["epoch", "phase", "train_loss", "val_loss", "val_dice",
+                     "val_iou", "val_precision", "val_recall", "val_f1",
+                     "lr_encoder", "lr_decoder", "lr_head"],
+            "abl": ["epoch", "train_loss", "region_loss", "boundary_loss",
+                    "boundary_skip_rate", "val_loss", "val_dice", "val_iou"],
+        }[cfg.metrics_schema]
+        csv_log = CSVLogger(out / "training_metrics.csv", schema)
+        history = JSONHistory(out / "history.json")
+
+        best_dice, best_epoch, no_improve = -1.0, -1, 0
+        ckpt_dir = out / f"{cfg.checkpoint_name}.ckpt"
+        rng = jax.random.key(cfg.seed)
+        base_w = np.asarray([s.loss_weight for s in cfg.sources] or [1.0],
+                            np.float32)
+
+        t_start = time.time()
+        images_seen = 0
+        for epoch in range(cfg.epochs):
+            lr_epoch = cosine_epoch_lr(cfg.lr, epoch, cfg.epochs)
+            enc_s, dec_s, head_s = phase.lr_scales(
+                epoch, cfg.encoder_lr_scale, cfg.head_lr_scale)
+            lrs = jnp.asarray([lr_epoch * enc_s, lr_epoch * dec_s,
+                               lr_epoch * head_s], jnp.float32)
+            active = jnp.asarray([1.0 if phase.encoder_on(epoch) else 0.0,
+                                  1.0, 1.0], jnp.float32)
+
+            # epoch plan
+            if sampler is not None:
+                order = sampler.epoch(epoch)
+            else:
+                order = np.random.default_rng(
+                    np.random.SeedSequence([cfg.seed, 7, epoch])
+                ).permutation(len(train_ds))
+
+            # per-sample loss weights (mixed curriculum)
+            w_epoch = base_w.copy()
+            if cfg.use_curriculum and len(w_epoch) >= 3:
+                w_epoch[-1] = curriculum_weight(
+                    epoch, cfg.pseudo_w_start, cfg.pseudo_w_end,
+                    cfg.pseudo_ramp_epochs)
+
+            losses, comps_acc = [], []
+            for bi, (imgs, masks) in enumerate(loader(order)):
+                rng, key = jax.random.split(rng)
+                if src_of_global is not None:
+                    idxs = order[bi * cfg.batch_size:(bi + 1) * cfg.batch_size]
+                    sw = jnp.asarray(w_epoch[src_of_global[idxs]])
+                else:
+                    sw = jnp.ones((imgs.shape[0],), jnp.float32)
+                state, loss, comps = train_step(
+                    state, imgs, masks, sw, key, lrs, active, gids)
+                losses.append(loss)
+                if comps:
+                    comps_acc.append(comps)
+                images_seen += imgs.shape[0]
+
+            # validation
+            vlosses, suites = [], []
+            for imgs, masks in val_loader(np.arange(len(val_ds))):
+                vloss, suite = eval_step(state, imgs, masks)
+                vlosses.append(vloss)
+                suites.append(suite)
+
+            # one host sync per epoch
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            val_loss = float(jnp.mean(jnp.stack(vlosses))) if vlosses else 0.0
+            suite = {k: float(jnp.mean(jnp.stack([s[k] for s in suites])))
+                     for k in suites[0]} if suites else {}
+
+            row = {"epoch": epoch + 1, "train_loss": train_loss,
+                   "val_loss": val_loss, "val_dice": suite.get("dice", 0.0),
+                   "val_iou": suite.get("iou", 0.0),
+                   "phase": int(phase.encoder_on(epoch)),
+                   "val_precision": suite.get("precision", 0.0),
+                   "val_recall": suite.get("recall", 0.0),
+                   "val_f1": suite.get("f1", 0.0),
+                   "lr_encoder": float(lrs[0]), "lr_decoder": float(lrs[1]),
+                   "lr_head": float(lrs[2])}
+            if comps_acc:
+                for k in comps_acc[0]:
+                    row[{"region": "region_loss", "boundary": "boundary_loss"
+                         }.get(k, k)] = float(
+                        jnp.mean(jnp.stack([c[k] for c in comps_acc])))
+                if "boundary_used" in comps_acc[0]:
+                    row["boundary_skip_rate"] = 1.0 - float(
+                        jnp.mean(jnp.stack([c["boundary_used"]
+                                            for c in comps_acc])))
+            csv_log.append(row)
+            history.append(row)
+            log(f"Epoch {epoch + 1}/{cfg.epochs} | Train {train_loss:.4f} | "
+                f"Val {val_loss:.4f} | Dice {row['val_dice']:.4f} | "
+                f"IoU {row['val_iou']:.4f}")
+
+            if row["val_dice"] > best_dice:
+                best_dice, best_epoch, no_improve = row["val_dice"], epoch, 0
+                ckpt_lib.save_checkpoint(
+                    ckpt_dir,
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)},
+                    metadata={"epoch": epoch, "val_dice": row["val_dice"],
+                              "val_iou": row["val_iou"]})
+                if cfg.save_torch_checkpoint and cfg.encoder != "classic":
+                    ckpt_lib.export_torch_checkpoint(
+                        out / f"{cfg.checkpoint_name}.pth",
+                        {"params": jax.device_get(state.params),
+                         "batch_stats": jax.device_get(state.batch_stats)},
+                        cfg.encoder, epoch, row["val_dice"], row["val_iou"])
+            else:
+                no_improve += 1
+                if no_improve >= cfg.patience:
+                    log(f"Early stopping at epoch {epoch + 1}.")
+                    break
+
+        elapsed = time.time() - t_start
+        # ---- threshold sweep on the best checkpoint ----
+        like = {"params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats)}
+        best = ckpt_lib.load_checkpoint(ckpt_dir, like)
+        state = state.replace(params=best["params"],
+                              batch_stats=best["batch_stats"])
+        lo, hi, n = cfg.threshold_sweep
+        thresholds = np.linspace(lo, hi, int(n))
+        sweep_step = self._sweep_step_fn(thresholds)
+        dsum, isum = [], []
+        for imgs, masks in val_loader(np.arange(len(val_ds))):
+            d, i = sweep_step(state, imgs, masks)
+            dsum.append(d)
+            isum.append(i)
+        dice_t = np.asarray(jnp.mean(jnp.stack(dsum), 0))
+        iou_t = np.asarray(jnp.mean(jnp.stack(isum), 0))
+        k = int(np.argmax(dice_t))
+        ckpt_lib.save_threshold_sidecar(ckpt_dir, thresholds[k],
+                                        float(dice_t[k]), float(iou_t[k]))
+        log(f"Best threshold: {thresholds[k]:.2f} | Dice {dice_t[k]:.4f}")
+
+        return {"best_val_dice": best_dice, "best_epoch": best_epoch,
+                "threshold": float(thresholds[k]),
+                "threshold_dice": float(dice_t[k]),
+                "ckpt_dir": str(ckpt_dir), "state": state,
+                "train_time_s": elapsed, "images_seen": images_seen,
+                "images_per_sec": images_seen / max(elapsed, 1e-9)}

@@ -32,12 +32,18 @@ class SegmentationDataset:
     def __init__(self, pairs: Sequence[Pair], img_size: Tuple[int, int],
                  side_padding_ratio: float = G.SIDE_PADDING_RATIO,
                  letterbox: bool = True,
-                 mask_threshold: float = 127.0):
+                 mask_threshold: float = 127.0,
+                 use_native: bool = True):
         self.pairs = list(pairs)
         self.img_size = img_size
         self.side_padding_ratio = side_padding_ratio
         self.letterbox = letterbox
         self.mask_threshold = mask_threshold
+        if use_native:
+            from cartseg_tpu import native
+            self._native = native if native.available() else None
+        else:
+            self._native = None
 
     def __len__(self):
         return len(self.pairs)
@@ -50,11 +56,16 @@ class SegmentationDataset:
         if bgr is None:
             raise RuntimeError(f"Could not read image: {rec.image}")
         img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        if self.letterbox:
-            img = G.letterbox_side_pad(
-                img, side_padding_ratio=self.side_padding_ratio)
-        img = cv2.resize(img, (self.img_size[1], self.img_size[0]),
-                         interpolation=cv2.INTER_LINEAR)
+        if self.letterbox and self._native is not None:
+            # fused C++ letterbox+resize: one pass, no temporaries
+            img = self._native.letterbox_resize(
+                img, self.img_size, self.side_padding_ratio)
+        else:
+            if self.letterbox:
+                img = G.letterbox_side_pad(
+                    img, side_padding_ratio=self.side_padding_ratio)
+            img = cv2.resize(img, (self.img_size[1], self.img_size[0]),
+                             interpolation=cv2.INTER_LINEAR)
 
         if rec.mask is None:
             mask = np.zeros(self.img_size, np.float32)

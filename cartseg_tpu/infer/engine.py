@@ -1,0 +1,142 @@
+"""TPU ensemble inference core.
+
+The reference loads up to 3 checkpoints and averages weighted sigmoids
+(create_pseudo_labels.py:87-90, 217-223; batched fp16 version
+create_pseudo_labels_gpu.py:201-215). Here the ensemble forward, flip
+TTA, and every QC statistic run in ONE jitted program per batch — the
+host only decodes JPEGs and encodes accepted PNGs (SURVEY.md section
+3.3's plan).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu.models import build_model, init_model
+from cartseg_tpu.train import checkpoint as ckpt_lib
+from cartseg_tpu.ops.edges import sobel_edges, mask_boundary, rgb_to_gray
+
+
+@dataclasses.dataclass
+class EnsembleMember:
+    model: object
+    variables: dict
+    weight: float
+    threshold: float = 0.5
+
+
+def load_member(ckpt_dir: Path, encoder: str = "efficientnet-b0",
+                weight: float = 1.0,
+                dtype=jnp.bfloat16) -> EnsembleMember:
+    """Load a flax checkpoint dir (with optional threshold.json sidecar,
+    create_pseudo_labels.py:37-41)."""
+    model = build_model(encoder, dtype=dtype)
+    like = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    tree = ckpt_lib.load_checkpoint(Path(ckpt_dir), {
+        "params": like["params"], "batch_stats": like["batch_stats"]})
+    thr = ckpt_lib.load_threshold_sidecar(Path(ckpt_dir), default=0.5)
+    return EnsembleMember(model, tree, weight, thr)
+
+
+def load_torch_member(pth_path: Path, encoder: str = "efficientnet-b0",
+                      weight: float = 1.0,
+                      dtype=jnp.bfloat16) -> EnsembleMember:
+    """Load a reference .pth checkpoint directly."""
+    import torch
+    from cartseg_tpu.models.torch_import import import_smp_unet
+
+    model = build_model(encoder, dtype=dtype)
+    sd = torch.load(str(pth_path), map_location="cpu")
+    sd = sd.get("model_state_dict", sd)
+    variables = import_smp_unet({k: v.numpy() for k, v in sd.items()},
+                                encoder)
+    import json
+    thr_file = Path(pth_path).with_suffix(".threshold.json")
+    thr = 0.5
+    if thr_file.exists():
+        try:
+            thr = float(json.loads(thr_file.read_text())["threshold"])
+        except Exception:
+            pass
+    return EnsembleMember(model, variables, weight, thr)
+
+
+def ensemble_probs_fn(members: Sequence[EnsembleMember],
+                      mean, std, tta_flip: bool = False) -> Callable:
+    """Returns jitted fn(images_u8 [B,H,W,3]) -> probs [B,H,W] fp32
+    (weighted sigma-mean; optionally also the flip-TTA probs)."""
+    ws = np.asarray([m.weight for m in members], np.float64)
+    ws = ws / ws.sum()
+    models = [m.model for m in members]
+    trees = [m.variables for m in members]
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def forward(images_u8):
+        x = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+        probs = 0.0
+        for mdl, tree, w in zip(models, trees, ws):
+            logits = mdl.apply({"params": tree["params"],
+                                "batch_stats": tree["batch_stats"]},
+                               x, train=False)
+            probs = probs + float(w) * jax.nn.sigmoid(
+                logits[..., 0].astype(jnp.float32))
+        return probs
+
+    if not tta_flip:
+        return jax.jit(forward)
+
+    def forward_tta(images_u8):
+        p = forward(images_u8)
+        p_flip = forward(images_u8[:, :, ::-1])[:, :, ::-1]
+        return p, p_flip
+
+    return jax.jit(forward_tta)
+
+
+def entropy_map(p, eps: float = 1e-6):
+    p = jnp.clip(p, eps, 1.0 - eps)
+    return -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
+
+
+def qc_stats_fn(threshold_default: float = 0.5,
+                edge_threshold: float = 120.0) -> Callable:
+    """jitted fn(probs, probs_flip, images_u8, threshold) -> dict of
+    per-image QC stats [B] matching create_pseudo_labels.py:233-240:
+    fg_area, fg_conf (median |p-.5|*2), mean_entropy, tta_iou,
+    edge_hit."""
+
+    @jax.jit
+    def stats(probs, probs_flip, images_u8, threshold):
+        pred = probs >= threshold
+        fg_area = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
+        conf = jnp.abs(probs - 0.5) * 2.0
+        B = probs.shape[0]
+        fg_conf = jnp.median(conf.reshape(B, -1), axis=1)
+        mean_ent = jnp.mean(entropy_map(probs), axis=(1, 2))
+        pred_f = probs_flip >= threshold
+        inter = jnp.sum((pred & pred_f).astype(jnp.float32), axis=(1, 2))
+        union = jnp.sum((pred | pred_f).astype(jnp.float32), axis=(1, 2))
+        tta_iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
+
+        def one_edge(img, m):
+            edges = sobel_edges(rgb_to_gray(img), edge_threshold)
+            boundary = mask_boundary(m)
+            tot = jnp.sum(boundary)
+            return jnp.where(tot > 0,
+                             jnp.sum(edges & boundary)
+                             / jnp.maximum(tot, 1), 0.0)
+
+        edge_hit = jax.vmap(one_edge)(images_u8.astype(jnp.float32), pred)
+        return {"fg_area": fg_area, "fg_conf": fg_conf,
+                "mean_entropy": mean_ent, "tta_iou": tta_iou,
+                "edge_hit": edge_hit}
+
+    return stats

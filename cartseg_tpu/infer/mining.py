@@ -1,0 +1,162 @@
+"""Active-learning hard-case mining — reference mine_hard_cases.py.
+
+Per image (batched on TPU, vs the reference's bs=1 host loop :168):
+mean entropy (:71-73), fraction near threshold (:75-76), flip-TTA
+variance (:78-81), component count (:93-95), hole fraction (:97-113),
+perimeter/area (:86-91), composite score (:189-190):
+
+  0.35*ent + 0.25*near + 0.20*ttaVar + 0.10*holes
+  + 0.10*min(P/A / 0.2, 1) + 0.05*min(components, 3)
+
+Perimeter uses the boundary-pixel count (device) instead of cv2
+arcLength — monotonically equivalent for ranking purposes.
+Outputs hard_candidates.csv ranked by descending composite.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu import geometry as G
+from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from cartseg_tpu.infer.engine import EnsembleMember, ensemble_probs_fn, entropy_map
+from cartseg_tpu.ops.connected_components import (
+    connected_components, component_areas,
+)
+from cartseg_tpu.ops.morphology import fill_holes_from_border
+from cartseg_tpu.ops.edges import mask_boundary
+
+IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+@dataclasses.dataclass
+class MiningConfig:
+    images_root: str = ""
+    out_dir: str = "hard_mining"
+    img_size: int = 512
+    side_padding_ratio: float = 0.1
+    imagenet_norm: bool = True
+    threshold: float = 0.5
+    delta_near: float = 0.05
+    batch_size: int = 16
+    sample_size: Optional[int] = 5000
+    seed: int = 1337
+    save_previews: bool = False
+    preview_top_k: int = 50
+
+
+def _metrics_fn(threshold: float, delta: float):
+    @jax.jit
+    def metrics(probs, probs_flip):
+        p_mean = (probs + probs_flip) / 2.0
+        ent = jnp.mean(entropy_map(p_mean, 1e-7), axis=(1, 2))
+        near = jnp.mean((jnp.abs(p_mean - 0.5) < delta)
+                        .astype(jnp.float32), axis=(1, 2))
+        var = jnp.mean(jnp.stack([probs, probs_flip]).var(axis=0),
+                       axis=(1, 2))
+        m01 = p_mean > threshold
+
+        def per_image(m):
+            H, W = m.shape
+            size = H * W
+            labels = connected_components(m)
+            idx = jnp.arange(size, dtype=jnp.int32).reshape(H, W)
+            comps = jnp.sum(m & (labels == idx))
+            filled = fill_holes_from_border(m)
+            holes = filled & ~m
+            area = jnp.sum(m)
+            hole_frac = jnp.where(area > 0,
+                                  jnp.sum(holes) / jnp.maximum(area, 1), 0.0)
+            per = jnp.sum(mask_boundary(m))
+            per_area = jnp.where(area > 0,
+                                 per / (area.astype(jnp.float32) + 1e-7), 0.0)
+            return comps, hole_frac, per_area
+
+        comps, hole_frac, per_area = jax.vmap(per_image)(m01)
+        score = (0.35 * ent + 0.25 * near + 0.20 * var
+                 + 0.10 * hole_frac
+                 + 0.10 * jnp.minimum(per_area / 0.2, 1.0)
+                 + 0.05 * jnp.minimum(comps.astype(jnp.float32), 3.0))
+        return {"entropy_mean": ent, "frac_near_0p5": near,
+                "tta_var_mean": var,
+                "components": comps.astype(jnp.int32),
+                "hole_fraction": hole_frac,
+                "perimeter_over_area": per_area, "composite": score}
+
+    return metrics
+
+
+def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
+                    log=print):
+    import cv2
+    import pandas as pd
+
+    root = Path(cfg.images_root)
+    out_dir = Path(cfg.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    imgs = sorted(p for p in root.rglob("*")
+                  if p.suffix.lower() in IMG_EXTS)
+    log(f"Found {len(imgs)} images total.")
+    rng = random.Random(cfg.seed)
+    if cfg.sample_size is not None and len(imgs) > cfg.sample_size:
+        imgs = rng.sample(imgs, cfg.sample_size)
+        sdir = out_dir / "sampling"
+        sdir.mkdir(parents=True, exist_ok=True)
+        with open(sdir / f"sampled_images_seed{cfg.seed}_n{len(imgs)}.txt",
+                  "w") as f:
+            f.writelines(str(p) + "\n" for p in imgs)
+
+    mean = IMAGENET_MEAN if cfg.imagenet_norm else (0, 0, 0)
+    std = IMAGENET_STD if cfg.imagenet_norm else (1, 1, 1)
+    fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
+    metrics = _metrics_fn(cfg.threshold, cfg.delta_near)
+
+    rows = []
+    S = cfg.img_size
+    batch, metas = [], []
+
+    def flush():
+        nonlocal batch, metas
+        if not batch:
+            return
+        jimgs = jnp.asarray(np.stack(batch))
+        probs, probs_flip = fwd(jimgs)
+        out = {k: np.asarray(v) for k, v in
+               metrics(probs, probs_flip).items()}
+        for i, p in enumerate(metas):
+            rows.append({"path": str(p),
+                         **{k: float(out[k][i]) for k in out}})
+        batch, metas = [], []
+
+    for p in imgs:
+        bgr = cv2.imread(str(p), cv2.IMREAD_COLOR)
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        lb = G.letterbox_side_pad(
+            rgb, side_padding_ratio=cfg.side_padding_ratio)
+        batch.append(cv2.resize(lb, (S, S),
+                                interpolation=cv2.INTER_LINEAR))
+        metas.append(p)
+        if len(batch) == cfg.batch_size:
+            flush()
+    flush()
+
+    df = pd.DataFrame(rows)
+    if df.empty:
+        log("No rows to save. Check image paths.")
+        return None
+    df = df.sort_values("composite", ascending=False).reset_index(drop=True)
+    csv_path = out_dir / "hard_candidates.csv"
+    df.to_csv(csv_path, index=False)
+    log(f"Saved {len(df)} rows to {csv_path}")
+    return df

@@ -1,0 +1,209 @@
+"""Pseudo-label generation — the TPU version of
+create_pseudo_labels_gpu.py (the batched path) with the QC gates and
+artifacts of create_pseudo_labels.py:
+
+  * weighted ensemble sigma-mean + flip TTA on device
+  * QC gates (:146-151, 191-197): fg_area in [0.005, 0.60],
+    fg_conf >= 0.65, mean_entropy <= 0.35, TTA IoU >= 0.75,
+    edge-hit >= 0.10 (Sobel-based on device)
+  * connected-component cleanup with min_area = 0.1% of the frame
+    (:124-138, 226-228) — on-device CC
+  * accepted/uncertain routing, hard-mask PNG + fp16 soft-prob npz +
+    overlay PNG + QC CSV (:243-260)
+  * per-bucket cap (default 50) and global cap (:264-287)
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import random
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu import geometry as G
+from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+from cartseg_tpu.infer.engine import (
+    EnsembleMember, ensemble_probs_fn, qc_stats_fn,
+)
+from cartseg_tpu.ops.connected_components import remove_small_components
+
+IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+@dataclasses.dataclass
+class QCThresholds:
+    min_fg_area: float = 0.005
+    max_fg_area: float = 0.60
+    min_fg_conf: float = 0.65
+    max_mean_entropy: float = 0.35
+    min_tta_iou: float = 0.75
+    min_edge_hit: float = 0.10
+
+
+def should_accept(fg_area, fg_conf, mean_entropy, tta_iou, edge_hit,
+                  t: QCThresholds = QCThresholds()) -> bool:
+    """create_pseudo_labels.py:191-197, verbatim logic."""
+    if fg_area < t.min_fg_area or fg_area > t.max_fg_area:
+        return False
+    if fg_conf < t.min_fg_conf:
+        return False
+    if mean_entropy > t.max_mean_entropy:
+        return False
+    if tta_iou < t.min_tta_iou:
+        return False
+    if edge_hit < t.min_edge_hit:
+        return False
+    return True
+
+
+@dataclasses.dataclass
+class PseudoLabelConfig:
+    images_root: str = ""
+    out_dir: str = "pseudo_masks"
+    overlay_dir: Optional[str] = None
+    img_size: int = 512
+    side_padding_ratio: float = 0.1
+    imagenet_norm: bool = True
+    threshold: Optional[float] = None   # None -> first member's sidecar
+    batch_size: int = 16
+    qc: QCThresholds = dataclasses.field(default_factory=QCThresholds)
+    min_area_frac: float = 0.001
+    max_masks: int = 100_000
+    max_per_bucket: int = 50
+    save_probs: bool = True
+    save_overlays: bool = True
+    shuffle_seed: int = 0
+    edge_threshold: float = 120.0
+
+
+def _overlay(rgb_u8: np.ndarray, pred01: np.ndarray) -> np.ndarray:
+    """Red boundary overlay (the reference draws red contours,
+    create_pseudo_labels.py:251-253)."""
+    import cv2
+
+    out = rgb_u8.copy()
+    cnts, _ = cv2.findContours(pred01.astype(np.uint8),
+                               cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    cv2.drawContours(out, cnts, -1, (255, 0, 0), 2)
+    return out
+
+
+def generate_pseudo_labels(members: Sequence[EnsembleMember],
+                           cfg: PseudoLabelConfig,
+                           log=print) -> dict:
+    import cv2
+
+    root = Path(cfg.images_root)
+    out_dir = Path(cfg.out_dir)
+    uncertain_dir = out_dir / "uncertain"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    uncertain_dir.mkdir(parents=True, exist_ok=True)
+    overlay_dir = Path(cfg.overlay_dir) if cfg.overlay_dir else None
+    if overlay_dir:
+        overlay_dir.mkdir(parents=True, exist_ok=True)
+
+    threshold = cfg.threshold if cfg.threshold is not None \
+        else members[0].threshold
+    mean = IMAGENET_MEAN if cfg.imagenet_norm else (0, 0, 0)
+    std = IMAGENET_STD if cfg.imagenet_norm else (1, 1, 1)
+    fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
+    qc = qc_stats_fn(edge_threshold=cfg.edge_threshold)
+    min_area = int(cfg.img_size * cfg.img_size * cfg.min_area_frac)
+    clean = jax.jit(jax.vmap(
+        lambda m: remove_small_components(m, min_area)))
+
+    paths = sorted(p for p in root.rglob("*")
+                   if p.suffix.lower() in IMG_EXTS)
+    random.Random(cfg.shuffle_seed).shuffle(paths)
+    log(f"Found {len(paths)} images, generating up to {cfg.max_masks}.")
+
+    qc_csv = out_dir / "qc_scores.csv"
+    if not qc_csv.exists():
+        with open(qc_csv, "w", newline="") as f:
+            csv.writer(f).writerow(
+                ["image", "fg_area", "fg_conf", "mean_entropy", "tta_iou",
+                 "edge_hit", "accepted", "threshold"])
+
+    counter = 0
+    bucket_counts: dict = {}
+    S = cfg.img_size
+
+    def batches():
+        batch, metas = [], []
+        for p in paths:
+            bucket = p.parent.name
+            if bucket_counts.get(bucket, 0) >= cfg.max_per_bucket:
+                continue
+            bgr = cv2.imread(str(p), cv2.IMREAD_COLOR)
+            if bgr is None:
+                continue
+            rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+            lb = G.letterbox_side_pad(
+                rgb, side_padding_ratio=cfg.side_padding_ratio)
+            img = cv2.resize(lb, (S, S), interpolation=cv2.INTER_LINEAR)
+            batch.append(img)
+            metas.append((p, bucket))
+            if len(batch) == cfg.batch_size:
+                yield np.stack(batch), metas
+                batch, metas = [], []
+        if batch:
+            yield np.stack(batch), metas
+
+    for imgs, metas in batches():
+        if counter >= cfg.max_masks:
+            break
+        jimgs = jnp.asarray(imgs)
+        probs, probs_flip = fwd(jimgs)
+        pred = clean(probs >= threshold)
+        stats = qc(probs, probs_flip, jimgs, threshold)
+        # refresh fg_area on the cleaned mask (reference computes it
+        # after clean_mask, create_pseudo_labels.py:235)
+        fg_area_clean = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
+        pred_np = np.asarray(pred).astype(np.uint8)
+        probs_np = np.asarray(probs)
+        stats_np = {k: np.asarray(v) for k, v in stats.items()}
+        stats_np["fg_area"] = np.asarray(fg_area_clean)
+
+        for i, (p, bucket) in enumerate(metas):
+            if bucket_counts.get(bucket, 0) >= cfg.max_per_bucket:
+                # cap re-checked at save time: a batch may contain more
+                # same-bucket images than the cap admits (the reference
+                # gpu variant checks inside the save loop, :306-307)
+                continue
+            rel = p.relative_to(root)
+            acc = should_accept(
+                stats_np["fg_area"][i], stats_np["fg_conf"][i],
+                stats_np["mean_entropy"][i], stats_np["tta_iou"][i],
+                stats_np["edge_hit"][i], cfg.qc)
+            base = (out_dir if acc else uncertain_dir) / rel.parent
+            base.mkdir(parents=True, exist_ok=True)
+            cv2.imwrite(str(base / f"{p.stem}.png"), pred_np[i] * 255)
+            if cfg.save_probs:
+                np.savez_compressed(base / f"{p.stem}_prob.npz",
+                                    prob=probs_np[i].astype(np.float16))
+            if cfg.save_overlays and overlay_dir is not None:
+                ov = _overlay(imgs[i], pred_np[i])
+                cv2.imwrite(str(overlay_dir / f"{p.stem}_overlay_512.png"),
+                            cv2.cvtColor(ov, cv2.COLOR_RGB2BGR))
+            with open(qc_csv, "a", newline="") as f:
+                csv.writer(f).writerow(
+                    [str(rel), f"{stats_np['fg_area'][i]:.4f}",
+                     f"{stats_np['fg_conf'][i]:.2f}",
+                     f"{stats_np['mean_entropy'][i]:.3f}",
+                     f"{stats_np['tta_iou'][i]:.2f}",
+                     f"{stats_np['edge_hit'][i]:.2f}",
+                     int(acc), f"{threshold:.2f}"])
+            if acc:
+                counter += 1
+                bucket_counts[bucket] = bucket_counts.get(bucket, 0) + 1
+                if counter >= cfg.max_masks:
+                    break
+
+    return {"accepted": counter, "buckets": bucket_counts,
+            "threshold": threshold}

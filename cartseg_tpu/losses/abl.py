@@ -153,7 +153,7 @@ def active_boundary_loss(
     direction_gt = jnp.argmin(dist_stack, axis=0)  # [B,H,W] in [0,9)
     valid = pred_bound & (direction_gt != 8)
 
-    weight_ce = jnp.clip(dist_map, a_max=max_clip_dist) / max_clip_dist
+    weight_ce = jnp.clip(dist_map, max=max_clip_dist) / max_clip_dist
     ce = lsr_cross_entropy(
         kl_stack, jnp.where(direction_gt == 8, 0, direction_gt),
         lb_smooth=label_smoothing, reduction="none",

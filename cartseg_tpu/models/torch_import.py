@@ -159,7 +159,8 @@ def import_smp_unet(state_dict, encoder_name: str = "resnet34"):
     else:
         raise ValueError(encoder_name)
     dec = {**_strip_prefix(sd, "decoder."),
-           **{"head.0." + k.split(".", 1)[1]: v for k, v in sd.items()
+           **{"head.0." + k[len("segmentation_head.0."):]: v
+              for k, v in sd.items()
               if k.startswith("segmentation_head.0.")}}
     _import_unet_decoder(tb, dec)
     return flax.core.freeze(tb.variables()).unfreeze()

@@ -46,6 +46,7 @@ class TrainConfig:
     masks_root: Optional[str] = None
     image_roots: List[str] = dataclasses.field(default_factory=list)
     sources: List[SourceSpec] = dataclasses.field(default_factory=list)
+    sources_json: str = ""  # JSON file with a list of SourceSpec dicts
     img_size: Tuple[int, int] = (512, 512)
     side_padding_ratio: float = 0.1
     imagenet_norm: bool = False

@@ -155,6 +155,14 @@ class Trainer:
                                       masks_root=str(mr))
             self.cfg = cfg
 
+        if cfg.sources_json:
+            import json
+            from cartseg_tpu.train.config import SourceSpec
+            specs = json.loads(Path(cfg.sources_json).read_text())
+            cfg = dataclasses.replace(
+                cfg, sources=[SourceSpec(**s) for s in specs])
+            self.cfg = cfg
+
         size = cfg.img_size
         if cfg.sources:
             # mixed-source mode (finetune_for_224 / finetune_pseudo)

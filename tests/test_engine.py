@@ -1,0 +1,184 @@
+"""Train engine behaviors: schedules vs torch, freeze semantics,
+AdamW-vs-torch parity, end-to-end fit with artifacts, checkpoint
+restore equality, mixed-source training."""
+
+import json
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu.train import TrainConfig, LossSpec, SourceSpec, Trainer
+from cartseg_tpu.train.schedules import cosine_epoch_lr, FreezePhase
+from cartseg_tpu.train.optim import (
+    init_adamw, adamw_update, group_id_tree,
+)
+from cartseg_tpu.train.config import apply_cli_overrides
+from cartseg_tpu.data import make_synthetic_tree
+
+
+# ----------------------------------------------------------- schedules
+
+def test_cosine_matches_torch_scheduler():
+    lin = torch.nn.Linear(1, 1)
+    opt = torch.optim.SGD(lin.parameters(), lr=1e-4)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)
+    for epoch in range(10):
+        ours = cosine_epoch_lr(1e-4, epoch, 10)
+        theirs = opt.param_groups[0]["lr"]
+        assert ours == pytest.approx(theirs, rel=1e-6)
+        sch.step()
+
+
+def test_freeze_phase_scales():
+    ph = FreezePhase(freeze_epochs=2, unfreeze_scale=0.3)
+    assert ph.lr_scales(0, 1.0, 3.0) == (0.0, 1.0, 3.0)
+    assert ph.lr_scales(1, 1.0, 3.0) == (0.0, 1.0, 3.0)
+    assert ph.lr_scales(2, 1.0, 3.0) == (0.3, 1.0, 3.0)
+    assert not ph.encoder_on(1) and ph.encoder_on(2)
+
+
+# ---------------------------------------------------------------- adamw
+
+def test_adamw_matches_torch(rng):
+    w = rng.normal(size=(4, 3)).astype(np.float32)
+    params = {"head": {"w": jnp.asarray(w)}}
+    gids = {"head": {"w": 2}}
+    opt = init_adamw(params)
+    tw = torch.from_numpy(w.copy()).requires_grad_(True)
+    topt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=1e-2)
+    p = params
+    for step in range(5):
+        g = rng.normal(size=(4, 3)).astype(np.float32)
+        p, opt = adamw_update(p, {"head": {"w": jnp.asarray(g)}}, opt,
+                              gids, jnp.asarray([0, 0, 1e-3]),
+                              jnp.ones((3,)), 1e-2)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(g)
+        topt.step()
+        np.testing.assert_allclose(np.asarray(p["head"]["w"]),
+                                   tw.detach().numpy(), atol=1e-6,
+                                   err_msg=f"step {step}")
+
+
+def test_adamw_frozen_group_untouched(rng):
+    w = rng.normal(size=(4,)).astype(np.float32)
+    params = {"enc": {"w": jnp.asarray(w)}}
+    gids = {"enc": {"w": 0}}
+    opt = init_adamw(params)
+    g = {"enc": {"w": jnp.asarray(rng.normal(size=(4,)).astype(np.float32))}}
+    p2, opt2 = adamw_update(params, g, opt, gids,
+                            jnp.asarray([1e-3, 0, 0]),
+                            jnp.asarray([0.0, 1.0, 1.0]), 1e-2)
+    np.testing.assert_array_equal(np.asarray(p2["enc"]["w"]), w)
+    # moments untouched (torch requires_grad=False semantics)
+    np.testing.assert_array_equal(np.asarray(opt2.mu["enc"]["w"]),
+                                  np.zeros(4, np.float32))
+    assert int(opt2.count[0]) == 0 and int(opt2.count[1]) == 1
+
+
+# --------------------------------------------------------------- config
+
+def test_cli_overrides():
+    cfg = TrainConfig()
+    cfg2 = apply_cli_overrides(cfg, [
+        "--epochs", "3", "--lr", "1e-3", "--img_size", "64,64",
+        "--synthetic", "true", "--encoder", "classic",
+        "--image_roots", "a,b"])
+    assert cfg2.epochs == 3 and cfg2.lr == 1e-3
+    assert cfg2.img_size == (64, 64) and cfg2.synthetic
+    assert cfg2.encoder == "classic"
+    assert cfg2.image_roots == ["a", "b"]
+    with pytest.raises(SystemExit):
+        apply_cli_overrides(cfg, ["--nope", "1"])
+
+
+# ------------------------------------------------------------------ fit
+
+@pytest.fixture(scope="module")
+def fit_result(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fit")
+    cfg = TrainConfig(
+        encoder="resnet18", img_size=(32, 32), batch_size=8, epochs=2,
+        lr=1e-3, patience=5, synthetic=True, synthetic_sessions=3,
+        synthetic_per_session=8, seed=0,
+        loss=LossSpec("bce_dice"), augment="train_512",
+        metrics_schema="basic", out_dir=str(out),
+        threshold_sweep=(0.2, 0.8, 7))
+    tr = Trainer(cfg)
+    res = tr.fit(log=lambda *a: None)
+    return cfg, tr, res
+
+
+def test_fit_artifacts(fit_result):
+    cfg, tr, res = fit_result
+    out = cfg.out_path()
+    assert (out / "training_metrics.csv").exists()
+    assert (out / "history.json").exists()
+    assert (out / "model.ckpt" / "threshold.json").exists()
+    hist = json.loads((out / "history.json").read_text())
+    assert len(hist) == 2
+    assert res["best_val_dice"] > 0
+    assert 0.2 <= res["threshold"] <= 0.8
+
+
+def test_fit_loss_decreases(fit_result):
+    cfg, tr, res = fit_result
+    hist = json.loads((cfg.out_path() / "history.json").read_text())
+    assert hist[1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_checkpoint_restore_gives_same_eval(fit_result):
+    cfg, tr, res = fit_result
+    from cartseg_tpu.train import checkpoint as ckpt_lib
+    state = res["state"]
+    like = {"params": jax.device_get(state.params),
+            "batch_stats": jax.device_get(state.batch_stats)}
+    tree = ckpt_lib.load_checkpoint(res["ckpt_dir"], like)
+    # restored tree leaves equal the in-memory best state
+    for a, b in zip(jax.tree_util.tree_leaves(tree["params"]),
+                    jax.tree_util.tree_leaves(like["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_mixed_sources_with_curriculum(tmp_path):
+    ir1, mr1 = make_synthetic_tree(tmp_path / "hard", n_sessions=2,
+                                   per_session=6, seed=1)
+    ir2, mr2 = make_synthetic_tree(tmp_path / "pseudo", n_sessions=2,
+                                   per_session=6, seed=2)
+    cfg = TrainConfig(
+        encoder="resnet18", img_size=(32, 32), batch_size=8, epochs=1,
+        lr=1e-3, synthetic=False, seed=0,
+        loss=LossSpec("bce_dice_per_sample"), augment="train_224",
+        sources=[
+            SourceSpec("hard", str(ir1), str(mr1), ratio=0.5,
+                       loss_weight=1.0, oversample=2.0),
+            SourceSpec("pseudo", str(ir2), str(mr2), ratio=0.5,
+                       loss_weight=0.4),
+        ],
+        val_source="hard", val_frac=0.2, use_curriculum=True,
+        freeze_encoder_epochs=1,
+        out_dir=str(tmp_path / "run"), metrics_schema="basic")
+    tr = Trainer(cfg)
+    res = tr.fit(log=lambda *a: None)
+    assert res["best_val_dice"] >= 0
+    assert (tmp_path / "run" / "training_metrics.csv").exists()
+
+
+def test_fit_abl_schema(tmp_path):
+    cfg = TrainConfig(
+        encoder="resnet18", img_size=(32, 32), batch_size=8, epochs=1,
+        lr=1e-3, synthetic=True, synthetic_sessions=2,
+        synthetic_per_session=6, seed=0,
+        loss=LossSpec("bce_dice_abl", {"abl_weight": 0.1}),
+        augment="none", metrics_schema="abl",
+        out_dir=str(tmp_path / "ablrun"))
+    tr = Trainer(cfg)
+    tr.fit(log=lambda *a: None)
+    import csv
+    with open(tmp_path / "ablrun" / "training_metrics.csv") as f:
+        rows = list(csv.reader(f))
+    assert "boundary_skip_rate" in rows[0]
+    assert len(rows) == 2

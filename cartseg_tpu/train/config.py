@@ -92,6 +92,10 @@ class TrainConfig:
     # --- parallelism
     use_mesh: bool = True
 
+    # --- observability
+    trace_dir: str = ""       # jax.profiler trace of the first epoch
+    log_throughput: bool = True
+
     def out_path(self) -> Path:
         p = Path(self.out_dir)
         p.mkdir(parents=True, exist_ok=True)

@@ -371,19 +371,24 @@ class Trainer:
                     cfg.pseudo_ramp_epochs)
 
             losses, comps_acc = [], []
-            for bi, (imgs, masks) in enumerate(loader(order)):
-                rng, key = jax.random.split(rng)
-                if src_of_global is not None:
-                    idxs = order[bi * cfg.batch_size:(bi + 1) * cfg.batch_size]
-                    sw = jnp.asarray(w_epoch[src_of_global[idxs]])
-                else:
-                    sw = jnp.ones((imgs.shape[0],), jnp.float32)
-                state, loss, comps = train_step(
-                    state, imgs, masks, sw, key, lrs, active, gids)
-                losses.append(loss)
-                if comps:
-                    comps_acc.append(comps)
-                images_seen += imgs.shape[0]
+            from cartseg_tpu.utils.profiling import maybe_trace, StepTimer
+            timer = StepTimer()
+            with maybe_trace(cfg.trace_dir if epoch == 0 else None):
+                for bi, (imgs, masks) in enumerate(loader(order)):
+                    rng, key = jax.random.split(rng)
+                    if src_of_global is not None:
+                        idxs = order[bi * cfg.batch_size:
+                                     (bi + 1) * cfg.batch_size]
+                        sw = jnp.asarray(w_epoch[src_of_global[idxs]])
+                    else:
+                        sw = jnp.ones((imgs.shape[0],), jnp.float32)
+                    state, loss, comps = train_step(
+                        state, imgs, masks, sw, key, lrs, active, gids)
+                    losses.append(loss)
+                    if comps:
+                        comps_acc.append(comps)
+                    images_seen += imgs.shape[0]
+                    timer.step(imgs.shape[0])
 
             # validation
             vlosses, suites = [], []
@@ -416,6 +421,12 @@ class Trainer:
                     row["boundary_skip_rate"] = 1.0 - float(
                         jnp.mean(jnp.stack([c["boundary_used"]
                                             for c in comps_acc])))
+            if cfg.log_throughput:
+                # wall-clock epoch rate (train+val; synced by the metric
+                # fetch above — block_until_ready is unreliable on
+                # relayed PJRT backends)
+                row["images_per_sec"] = round(
+                    timer.rates()["images_per_sec"], 2)
             csv_log.append(row)
             history.append(row)
             log(f"Epoch {epoch + 1}/{cfg.epochs} | Train {train_loss:.4f} | "

@@ -12,6 +12,7 @@ BENCH_BASELINE.json (the reference publishes no numbers — BASELINE.md).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from pathlib import Path
@@ -22,7 +23,7 @@ HERE = Path(__file__).parent
 BASELINE_CACHE = HERE / "BENCH_BASELINE.json"
 
 IMG = 224
-BATCH = 32
+BATCH = 128  # amortizes the ~19ms fixed launch overhead of the relayed runtime
 WARMUP_STEPS = 3
 MEASURE_STEPS = 30
 
@@ -57,7 +58,7 @@ def tpu_images_per_sec() -> float:
     gids = group_id_tree(param_groups(params))
     aug = AugmentConfig.train_512()
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, stats, opt, images_u8, masks, key, lrs, active):
         imgs, m = augment_batch(key, images_u8, masks, aug)
 

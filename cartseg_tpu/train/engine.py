@@ -239,7 +239,7 @@ class Trainer:
         model, loss_fn, aug_cfg = self.model, self.loss_fn, self.aug_cfg
         wd = self.cfg.weight_decay
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, images_u8, masks, sample_w, key,
                  lrs, active, gids):
             imgs, m = augment_batch(key, images_u8, masks, aug_cfg)

@@ -34,8 +34,14 @@ def load_checkpoint(ckpt_dir: Path, like: Optional[Dict[str, Any]] = None
         if like is not None:
             restore_args = jax.tree_util.tree_map(
                 lambda x: ocp.RestoreArgs(restore_type=np.ndarray), like)
-            tree = ckptr.restore(ckpt_dir / "tree",
-                                 item=like, restore_args=restore_args)
+            try:
+                tree = ckptr.restore(ckpt_dir / "tree",
+                                     item=like, restore_args=restore_args)
+            except (ValueError, KeyError):
+                # structure mismatch (e.g. the checkpoint also carries
+                # optimizer state): restore raw and subset
+                raw = ckptr.restore(ckpt_dir / "tree")
+                tree = {k: raw[k] for k in like}
         else:
             tree = ckptr.restore(ckpt_dir / "tree")
     return tree

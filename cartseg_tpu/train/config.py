@@ -85,6 +85,8 @@ class TrainConfig:
     # --- output
     out_dir: str = "runs/default"
     checkpoint_name: str = "model"
+    save_optimizer_state: bool = True  # ref saves it (train_bce_dice.py:371)
+    resume: bool = False               # continue from the saved best epoch
     metrics_schema: str = "basic"  # basic | prf1 | abl
     threshold_sweep: Tuple[float, float, int] = (0.2, 0.8, 13)
     save_torch_checkpoint: bool = False

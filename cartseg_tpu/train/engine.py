@@ -339,14 +339,30 @@ class Trainer:
         history = JSONHistory(out / "history.json")
 
         best_dice, best_epoch, no_improve = -1.0, -1, 0
+        start_epoch = 0
         ckpt_dir = out / f"{cfg.checkpoint_name}.ckpt"
+        if cfg.resume and (ckpt_dir / "tree").exists():
+            like = {"params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+            if cfg.save_optimizer_state:
+                like["opt"] = jax.device_get(state.opt)
+            tree = ckpt_lib.load_checkpoint(ckpt_dir, like)
+            state = state.replace(
+                params=tree["params"], batch_stats=tree["batch_stats"],
+                opt=AdamWState(*tree["opt"]) if "opt" in tree else state.opt)
+            meta = ckpt_lib.load_metadata(ckpt_dir)
+            best_dice = float(meta.get("val_dice", -1.0))
+            best_epoch = int(meta.get("epoch", -1))
+            start_epoch = best_epoch + 1
+            log(f"Resumed from epoch {best_epoch} "
+                f"(val_dice {best_dice:.4f}).")
         rng = jax.random.key(cfg.seed)
         base_w = np.asarray([s.loss_weight for s in cfg.sources] or [1.0],
                             np.float32)
 
         t_start = time.time()
         images_seen = 0
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             lr_epoch = cosine_epoch_lr(cfg.lr, epoch, cfg.epochs)
             enc_s, dec_s, head_s = phase.lr_scales(
                 epoch, cfg.encoder_lr_scale, cfg.head_lr_scale)
@@ -435,10 +451,12 @@ class Trainer:
 
             if row["val_dice"] > best_dice:
                 best_dice, best_epoch, no_improve = row["val_dice"], epoch, 0
+                tree = {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)}
+                if cfg.save_optimizer_state:
+                    tree["opt"] = jax.device_get(state.opt)
                 ckpt_lib.save_checkpoint(
-                    ckpt_dir,
-                    {"params": jax.device_get(state.params),
-                     "batch_stats": jax.device_get(state.batch_stats)},
+                    ckpt_dir, tree,
                     metadata={"epoch": epoch, "val_dice": row["val_dice"],
                               "val_iou": row["val_iou"]})
                 if cfg.save_torch_checkpoint and cfg.encoder != "classic":
@@ -457,6 +475,8 @@ class Trainer:
         # ---- threshold sweep on the best checkpoint ----
         like = {"params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats)}
+        if cfg.save_optimizer_state:
+            like["opt"] = jax.device_get(state.opt)
         best = ckpt_lib.load_checkpoint(ckpt_dir, like)
         state = state.replace(params=best["params"],
                               batch_stats=best["batch_stats"])

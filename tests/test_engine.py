@@ -182,3 +182,22 @@ def test_fit_abl_schema(tmp_path):
         rows = list(csv.reader(f))
     assert "boundary_skip_rate" in rows[0]
     assert len(rows) == 2
+
+
+def test_resume_continues_from_best_epoch(tmp_path):
+    cfg = TrainConfig(
+        encoder="resnet18", img_size=(32, 32), batch_size=8, epochs=2,
+        lr=1e-3, patience=9, synthetic=True, synthetic_sessions=2,
+        synthetic_per_session=6, seed=0, loss=LossSpec("bce_dice"),
+        augment="none", out_dir=str(tmp_path / "r"))
+    Trainer(cfg).fit(log=lambda *a: None)
+    # resume with a higher epoch budget: must continue, not restart
+    logs = []
+    cfg2 = cfg.with_overrides(epochs=3, resume=True)
+    res = Trainer(cfg2).fit(log=logs.append)
+    assert any("Resumed from epoch" in s for s in logs)
+    hist = json.loads((tmp_path / "r" / "history.json").read_text())
+    # 2 original epochs + the continued ones, no duplicate epoch numbers
+    epochs = [h["epoch"] for h in hist]
+    assert epochs == sorted(epochs)
+    assert res["best_val_dice"] >= 0

@@ -24,7 +24,8 @@ from cartseg_tpu.models.classic_unet import ClassicUNet
 
 
 def build_model(encoder_name: str = "resnet34", classes: int = 1,
-                dtype: jnp.dtype = jnp.float32) -> nn.Module:
+                dtype: jnp.dtype = jnp.float32,
+                decoder: str = "unet") -> nn.Module:
     if encoder_name == "resnet34":
         enc = ResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=dtype,
                             name="encoder")
@@ -37,6 +38,9 @@ def build_model(encoder_name: str = "resnet34", classes: int = 1,
         return ClassicUNet(out_channels=classes, dtype=dtype)
     else:
         raise ValueError(f"unknown encoder {encoder_name!r}")
+    if decoder == "unetpp":
+        from cartseg_tpu.models.unetpp import UNetPlusPlus
+        return UNetPlusPlus(encoder=enc, classes=classes, dtype=dtype)
     return UNet(encoder=enc, classes=classes, dtype=dtype)
 
 

@@ -36,6 +36,7 @@ class SourceSpec:
 class TrainConfig:
     # --- model (train_bce_dice.py:293-301 defaults)
     encoder: str = "resnet34"
+    decoder: str = "unet"  # unet | unetpp (extension, PAPERS.md UNet++)
     classes: int = 1
     compute_dtype: str = "bfloat16"   # AMP analog; fp32 params
     init_checkpoint: Optional[str] = None       # flax ckpt dir

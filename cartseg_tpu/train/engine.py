@@ -97,7 +97,8 @@ class Trainer:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         self.model = build_model(cfg.encoder, cfg.classes,
-                                 dtype=jnp.dtype(cfg.compute_dtype))
+                                 dtype=jnp.dtype(cfg.compute_dtype),
+                                 decoder=cfg.decoder)
         self.aug_cfg = self._augment_config()
         self.val_aug_cfg = AugmentConfig.none(cfg.imagenet_norm)
         self.loss_fn = resolve_loss(cfg.loss)

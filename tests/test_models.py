@@ -175,3 +175,14 @@ def test_smp_export_key_format(ruleset=None):
     assert "segmentation_head.0.bias" in keys
     # conv weights are OIHW
     assert sd["encoder.conv1.weight"].shape == (64, 3, 7, 7)
+
+
+def test_unetpp_forward_shapes():
+    model = build_model("resnet18", decoder="unetpp")
+    variables = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 64, 64, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    labels = param_groups(variables["params"])
+    assert set(jax.tree_util.tree_leaves(labels)) == {"encoder", "decoder",
+                                                      "head"}

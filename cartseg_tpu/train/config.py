@@ -39,6 +39,8 @@ class TrainConfig:
     decoder: str = "unet"  # unet | unetpp (extension, PAPERS.md UNet++)
     classes: int = 1
     compute_dtype: str = "bfloat16"   # AMP analog; fp32 params
+    remat: bool = False   # jax.checkpoint the forward (512^2 big-batch
+    #                       memory headroom at the cost of recompute)
     init_checkpoint: Optional[str] = None       # flax ckpt dir
     init_torch_checkpoint: Optional[str] = None  # reference .pth
 

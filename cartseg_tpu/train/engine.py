@@ -239,6 +239,15 @@ class Trainer:
     def _train_step_fn(self):
         model, loss_fn, aug_cfg = self.model, self.loss_fn, self.aug_cfg
         wd = self.cfg.weight_decay
+        use_remat = self.cfg.remat
+
+        def forward(params, batch_stats, imgs):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"])
+
+        if use_remat:
+            forward = jax.checkpoint(forward)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: TrainState, images_u8, masks, sample_w, key,
@@ -246,9 +255,7 @@ class Trainer:
             imgs, m = augment_batch(key, images_u8, masks, aug_cfg)
 
             def compute(params):
-                out, upd = model.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    imgs, train=True, mutable=["batch_stats"])
+                out, upd = forward(params, state.batch_stats, imgs)
                 loss, comps = loss_fn(out, m, sample_w)
                 return loss, (upd["batch_stats"], comps)
 
@@ -372,13 +379,19 @@ class Trainer:
             active = jnp.asarray([1.0 if phase.encoder_on(epoch) else 0.0,
                                   1.0, 1.0], jnp.float32)
 
-            # epoch plan
+            # epoch plan (identical on every host — the sampler/permutation
+            # is seed-derived; each host then takes its stride slice, the
+            # coordination-free multi-host recipe of SURVEY.md section 5)
             if sampler is not None:
                 order = sampler.epoch(epoch)
             else:
                 order = np.random.default_rng(
                     np.random.SeedSequence([cfg.seed, 7, epoch])
                 ).permutation(len(train_ds))
+            if jax.process_count() > 1:
+                from cartseg_tpu.data.pairing import shard_for_host
+                order = np.asarray(shard_for_host(
+                    list(order), jax.process_index(), jax.process_count()))
 
             # per-sample loss weights (mixed curriculum)
             w_epoch = base_w.copy()

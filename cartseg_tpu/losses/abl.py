@@ -62,7 +62,14 @@ def gt2boundary(gt, ignore_label: int = 255):
 def logits2boundary(probs2, max_N_ratio: float = 1.0 / 100):
     """[B,H,W,2] class scores -> [B,H,W] bool predicted boundary
     (abl.py:65-87): neighbor-KL edges, adaptive eps so at most
-    max_N_ratio of pixels fire, then 3x3 dilation."""
+    max_N_ratio of pixels fire, then 3x3 dilation.
+
+    The reference's `while eps *= 1.2` re-counts the whole image each
+    iteration (tens of sequential full reductions). The loop's fixpoint
+    has a closed form on the same 1.2-grid: the smallest
+    eps = 1e-5 * 1.2^k with count(kl > eps) <= max_N is determined by
+    the (max_N+1)-th largest kl value — one device sort replaces the
+    loop, bit-identical decision."""
     B, H, W, _ = probs2.shape
     max_N = (H * W) * max_N_ratio  # per the reference: image-area budget
     kl_ud = jnp.sum(_kl_div(probs2[:, 1:, :, :], probs2[:, :-1, :, :]), -1)
@@ -71,10 +78,21 @@ def logits2boundary(probs2, max_N_ratio: float = 1.0 / 100):
     kl_lr = jnp.pad(kl_lr, ((0, 0), (0, 0), (0, 1)))
     kl_combine = kl_ud + kl_lr
 
-    def cond(eps):
-        return jnp.sum((kl_combine > eps).astype(jnp.float32)) > max_N
+    flat = kl_combine.reshape(-1)
+    k = int(max_N)  # count(kl > eps) <= max_N <=> eps >= (k+1)-th largest
+    if k + 1 <= flat.shape[0]:
+        kth = jax.lax.top_k(flat, k + 1)[0][-1]
+    else:
+        kth = jnp.min(flat) - 1.0
+    base = jnp.float32(1e-5)
+    # smallest grid point >= kth (and >= base, matching loop start)
+    n = jnp.ceil(jnp.log(jnp.maximum(kth, base) / base)
+                 / jnp.log(jnp.float32(1.2)))
+    eps = base * jnp.float32(1.2) ** jnp.maximum(n, 0.0)
+    # grid point must satisfy count(kl > eps) <= max_N; kth may sit
+    # exactly on a grid point, where `>` keeps count <= max_N already
+    eps = jnp.where(jnp.sum(flat > eps) > max_N, eps * 1.2, eps)
 
-    eps = jax.lax.while_loop(cond, lambda e: e * 1.2, jnp.float32(1e-5))
     edge = (kl_combine > eps).astype(jnp.float32)
     # 3x3 dilation == max pool
     dil = jax.lax.reduce_window(

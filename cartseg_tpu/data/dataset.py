@@ -12,7 +12,7 @@ item 4 calls for synthetic disk trees).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import random
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
 MASK_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")

@@ -28,9 +28,7 @@ import jax.numpy as jnp
 from cartseg_tpu import geometry as G
 from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from cartseg_tpu.infer.engine import EnsembleMember, ensemble_probs_fn, entropy_map
-from cartseg_tpu.ops.connected_components import (
-    connected_components, component_areas,
-)
+from cartseg_tpu.ops.connected_components import connected_components
 from cartseg_tpu.ops.morphology import fill_holes_from_border
 from cartseg_tpu.ops.edges import mask_boundary
 

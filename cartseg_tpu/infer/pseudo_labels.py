@@ -19,7 +19,7 @@ import csv
 import dataclasses
 import random
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -4,8 +4,6 @@ Even n keeps t(x) > 0 for all x. Channels-last."""
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -4,8 +4,6 @@ semantics via the softplus-stable form)."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -24,7 +24,7 @@ import dataclasses
 import functools
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
@@ -44,7 +44,7 @@ from cartseg_tpu.data import (
 from cartseg_tpu.data.pairing import session_split_seeded
 from cartseg_tpu.data.sampling import mixed_index_table
 from cartseg_tpu.models import build_model, init_model, param_groups
-from cartseg_tpu.parallel import data_mesh, shard_batch, replicate
+from cartseg_tpu.parallel import data_mesh, replicate
 from cartseg_tpu.train.config import TrainConfig
 from cartseg_tpu.train.optim import (
     AdamWState, init_adamw, group_id_tree, adamw_update,

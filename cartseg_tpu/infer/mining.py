@@ -157,4 +157,42 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
     csv_path = out_dir / "hard_candidates.csv"
     df.to_csv(csv_path, index=False)
     log(f"Saved {len(df)} rows to {csv_path}")
+
+    if cfg.save_previews:
+        _save_previews(df.head(cfg.preview_top_k), fwd, cfg, out_dir, log)
     return df
+
+
+def _save_previews(df, fwd, cfg: MiningConfig, out_dir: Path, log):
+    """Triptych previews for the top-ranked candidates
+    (mine_hard_cases.py:215-252): image | prob heatmap | mask overlay."""
+    import cv2
+
+    pdir = out_dir / "previews"
+    pdir.mkdir(parents=True, exist_ok=True)
+    S = cfg.img_size
+    n = 0
+    for rank, row in df.iterrows():
+        bgr = cv2.imread(row["path"], cv2.IMREAD_COLOR)
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        lb = G.letterbox_side_pad(
+            rgb, side_padding_ratio=cfg.side_padding_ratio)
+        img = cv2.resize(lb, (S, S), interpolation=cv2.INTER_LINEAR)
+        probs, probs_flip = fwd(jnp.asarray(img[None]))
+        p = np.asarray((probs + probs_flip) / 2.0)[0]
+        heat = cv2.applyColorMap((p * 255).astype(np.uint8),
+                                 cv2.COLORMAP_JET)
+        m = (p > cfg.threshold).astype(np.uint8)
+        overlay = img.copy()
+        cnts, _ = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+        cv2.drawContours(overlay, cnts, -1, (255, 0, 0), 2)
+        panel = np.concatenate(
+            [cv2.cvtColor(img, cv2.COLOR_RGB2BGR), heat,
+             cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR)], axis=1)
+        cv2.imwrite(str(pdir / f"{rank:04d}_{Path(row['path']).stem}.png"),
+                    panel)
+        n += 1
+    log(f"Saved {n} previews to {pdir}")

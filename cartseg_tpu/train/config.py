@@ -68,6 +68,8 @@ class TrainConfig:
     weight_decay: float = 1e-4
     patience: int = 7
     seed: int = 42
+    clip_grad_norm: float = 0.0   # >0 enables global-norm clipping
+    skip_nonfinite: bool = True   # drop updates from non-finite losses
     loss: LossSpec = dataclasses.field(default_factory=LossSpec)
     # LR tiers (x multipliers on `lr`): encoder/decoder/head
     encoder_lr_scale: float = 1.0

@@ -240,6 +240,8 @@ class Trainer:
         model, loss_fn, aug_cfg = self.model, self.loss_fn, self.aug_cfg
         wd = self.cfg.weight_decay
         use_remat = self.cfg.remat
+        clip_norm = self.cfg.clip_grad_norm
+        skip_nonfinite = self.cfg.skip_nonfinite
 
         def forward(params, batch_stats, imgs):
             return model.apply(
@@ -261,8 +263,24 @@ class Trainer:
 
             (loss, (bs, comps)), grads = jax.value_and_grad(
                 compute, has_aux=True)(state.params)
+            if clip_norm > 0:
+                gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                                     for g in
+                                     jax.tree_util.tree_leaves(grads)))
+                scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            if skip_nonfinite:
+                # a bad batch must not poison params/moments: gate the
+                # whole update on a finite loss (production guard the
+                # reference lacks)
+                ok = jnp.isfinite(loss).astype(jnp.float32)
+                active_eff = active * ok
+                grads = jax.tree_util.tree_map(
+                    lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+            else:
+                active_eff = active
             new_params, new_opt = adamw_update(
-                state.params, grads, state.opt, gids, lrs, active, wd)
+                state.params, grads, state.opt, gids, lrs, active_eff, wd)
             new_state = state.replace(params=new_params, batch_stats=bs,
                                       opt=new_opt, step=state.step + 1)
             return new_state, loss, comps

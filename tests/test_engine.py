@@ -201,3 +201,79 @@ def test_resume_continues_from_best_epoch(tmp_path):
     epochs = [h["epoch"] for h in hist]
     assert epochs == sorted(epochs)
     assert res["best_val_dice"] >= 0
+
+
+def test_init_from_torch_checkpoint(tmp_path):
+    """Reference .pth checkpoints initialize training directly
+    (finetune loading, finetune_for_224.py:305-307)."""
+    import torch
+    from cartseg_tpu.models import build_model, init_model
+    from cartseg_tpu.models.torch_import import export_flax_to_torch_naming
+
+    model = build_model("resnet18")
+    variables = init_model(model, jax.random.key(3), (1, 32, 32, 3))
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+          export_flax_to_torch_naming(variables, "resnet18").items()}
+    pth = tmp_path / "ref.pth"
+    torch.save({"epoch": 5, "model_state_dict": sd, "val_dice": 0.8}, pth)
+
+    cfg = TrainConfig(encoder="resnet18", img_size=(32, 32),
+                      init_torch_checkpoint=str(pth),
+                      out_dir=str(tmp_path / "o"))
+    state = Trainer(cfg).init_state()
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_nonfinite_loss_skips_update(rng):
+    """A NaN batch must leave params and moments untouched."""
+    from cartseg_tpu.train.engine import Trainer
+    cfg = TrainConfig(encoder="classic", img_size=(16, 16), batch_size=2,
+                      epochs=1, synthetic=False, use_mesh=False,
+                      out_dir="/tmp/nf", loss=LossSpec("bce_dice"),
+                      augment="none", skip_nonfinite=True)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    from cartseg_tpu.train.optim import group_id_tree
+    from cartseg_tpu.models import param_groups
+    gids = group_id_tree(param_groups(state.params))
+    step = tr._train_step_fn()
+    imgs = jnp.asarray(np.full((2, 16, 16, 3), np.nan, np.float32)
+                       .astype(np.float32)).astype(jnp.uint8)
+    # force NaN through the mask instead (uint8 images can't be NaN)
+    masks = jnp.asarray(np.full((2, 16, 16, 1), np.nan, np.float32))
+    lrs = jnp.asarray([1e-3] * 3)
+    active = jnp.ones((3,))
+    sw = jnp.ones((2,))
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    new_state, loss, _ = step(state, imgs, masks, sw, jax.random.key(0),
+                              lrs, active, gids)
+    assert not np.isfinite(float(loss))
+    after = jax.tree_util.tree_leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    assert int(new_state.opt.count.sum()) == 0
+
+
+def test_grad_clipping_bounds_update(rng):
+    cfg = TrainConfig(encoder="classic", img_size=(16, 16), batch_size=2,
+                      epochs=1, use_mesh=False, out_dir="/tmp/gc",
+                      loss=LossSpec("bce_dice"), augment="none",
+                      clip_grad_norm=1e-8, lr=1.0)
+    tr = Trainer(cfg)
+    state = tr.init_state()
+    from cartseg_tpu.train.optim import group_id_tree
+    from cartseg_tpu.models import param_groups
+    gids = group_id_tree(param_groups(state.params))
+    step = tr._train_step_fn()
+    imgs = jnp.asarray((rng.random((2, 16, 16, 3)) * 255).astype(np.uint8))
+    masks = jnp.asarray((rng.random((2, 16, 16, 1)) > 0.5)
+                        .astype(np.float32))
+    before = jax.tree_util.tree_leaves(state.params)[0].copy()
+    new_state, loss, _ = step(state, imgs, masks, jnp.ones((2,)),
+                              jax.random.key(0), jnp.asarray([1.0] * 3),
+                              jnp.ones((3,)), gids)
+    after = jax.tree_util.tree_leaves(new_state.params)[0]
+    # with grads clipped to ~0, adam's mhat/sqrt(vhat) is ~sign-scaled;
+    # the update is dominated by weight decay at lr 1 -> bounded change
+    assert np.isfinite(np.asarray(after)).all()

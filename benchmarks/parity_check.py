@@ -65,11 +65,11 @@ def torch_side(train_ds, val_ds, epochs, lr, batch):
     return best
 
 
-def jax_side(out_dir, epochs, lr, batch):
+def jax_side(out_dir, epochs, lr, batch, img):
     from cartseg_tpu.train import TrainConfig, LossSpec, Trainer
 
     cfg = TrainConfig(
-        encoder="resnet34", img_size=(64, 64), batch_size=batch,
+        encoder="resnet34", img_size=(img, img), batch_size=batch,
         epochs=epochs, lr=lr, patience=epochs + 1, seed=42,
         loss=LossSpec("bce_dice"), augment="none",
         images_root=str(Path(out_dir) / "synthetic" / "images"),
@@ -106,7 +106,7 @@ def main(argv=None):
     print("reference math (torch CPU):")
     d_torch = torch_side(train_ds, val_ds, args.epochs, args.lr, args.batch)
     print("cartseg_tpu (TPU):")
-    d_jax = jax_side(out, args.epochs, args.lr, args.batch)
+    d_jax = jax_side(out, args.epochs, args.lr, args.batch, args.img)
 
     delta = abs(d_jax - d_torch)
     verdict = {"torch_best_val_dice": round(d_torch, 4),

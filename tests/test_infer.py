@@ -198,3 +198,28 @@ def test_score_sample_area_penalty():
     assert score_sample(0.001, 0.8, 0.2) < score_sample(0.1, 0.8, 0.2)
     # huge area penalized
     assert score_sample(0.9, 0.8, 0.2) < score_sample(0.1, 0.8, 0.2)
+
+
+def test_pseudo_labels_deterministic(tmp_path):
+    """Same checkpoint + same images -> bitwise-identical masks and QC
+    rows across runs (the north star's determinism requirement for the
+    non-stochastic paths)."""
+    ir, _ = make_synthetic_tree(tmp_path, n_sessions=1, per_session=3,
+                                hw=(48, 64))
+    members = _members(1)
+    outs = []
+    for run in ("a", "b"):
+        cfg = PseudoLabelConfig(
+            images_root=str(ir), out_dir=str(tmp_path / run), img_size=32,
+            threshold=0.5, batch_size=2, save_overlays=False,
+            qc=QCThresholds(min_fg_area=0, max_fg_area=1, min_fg_conf=0,
+                            max_mean_entropy=10, min_tta_iou=0,
+                            min_edge_hit=0))
+        generate_pseudo_labels(members, cfg, log=lambda *a: None)
+        import cv2
+        masks = {p.name: cv2.imread(str(p), 0).tobytes()
+                 for p in sorted((tmp_path / run).rglob("session_*/*.png"))}
+        outs.append(masks)
+    assert outs[0].keys() == outs[1].keys() and len(outs[0]) > 0
+    for k in outs[0]:
+        assert outs[0][k] == outs[1][k], k

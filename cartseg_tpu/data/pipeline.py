@@ -51,26 +51,43 @@ class Loader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer has left."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in self._batches(order):
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    imgs = np.stack([it[0] for it in items])
-                    masks = np.stack([it[1] for it in items])[..., None]
-                    put = (imgs, masks)
-                    if self.sharding is not None and \
-                            imgs.shape[0] % self.sharding.num_devices == 0:
-                        put = (jax.device_put(imgs, self.sharding),
-                               jax.device_put(masks, self.sharding))
-                    elif self.device is not None:
-                        put = (jax.device_put(imgs, self.device),
-                               jax.device_put(masks, self.device))
-                    else:
-                        put = (jax.device_put(imgs), jax.device_put(masks))
-                    q.put(put)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in self._batches(order):
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              idxs))
+                        imgs = np.stack([it[0] for it in items])
+                        masks = np.stack([it[1] for it in items])[..., None]
+                        if self.sharding is not None and \
+                                imgs.shape[0] % self.sharding.num_devices \
+                                == 0:
+                            put = (jax.device_put(imgs, self.sharding),
+                                   jax.device_put(masks, self.sharding))
+                        elif self.device is not None:
+                            put = (jax.device_put(imgs, self.device),
+                                   jax.device_put(masks, self.device))
+                        else:
+                            put = (jax.device_put(imgs),
+                                   jax.device_put(masks))
+                        if not _put(put):
+                            return
+            except BaseException as e:  # surfaced to the consumer
+                _put(e)
+            finally:
+                _put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -79,9 +96,17 @@ class Loader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck on a full queue
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
     def steps_per_epoch(self, n: int) -> int:
         return n // self.batch_size if self.drop_last \

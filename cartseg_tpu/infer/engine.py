@@ -106,8 +106,7 @@ def entropy_map(p, eps: float = 1e-6):
     return -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
 
 
-def qc_stats_fn(threshold_default: float = 0.5,
-                edge_threshold: float = 120.0) -> Callable:
+def qc_stats_fn(edge_threshold: float = 120.0) -> Callable:
     """jitted fn(probs, probs_flip, images_u8, threshold) -> dict of
     per-image QC stats [B] matching create_pseudo_labels.py:233-240:
     fg_area, fg_conf (median |p-.5|*2), mean_entropy, tta_iou,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from cartseg_tpu import geometry as G
 from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from cartseg_tpu.infer.engine import EnsembleMember, ensemble_probs_fn, entropy_map
-from cartseg_tpu.ops.connected_components import connected_components
+from cartseg_tpu.ops.connected_components import count_components
 from cartseg_tpu.ops.morphology import fill_holes_from_border
 from cartseg_tpu.ops.edges import mask_boundary
 
@@ -63,11 +63,7 @@ def _metrics_fn(threshold: float, delta: float):
         m01 = p_mean > threshold
 
         def per_image(m):
-            H, W = m.shape
-            size = H * W
-            labels = connected_components(m)
-            idx = jnp.arange(size, dtype=jnp.int32).reshape(H, W)
-            comps = jnp.sum(m & (labels == idx))
+            comps = count_components(m)
             filled = fill_holes_from_border(m)
             holes = filled & ~m
             area = jnp.sum(m)
@@ -165,13 +161,17 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
 
 def _save_previews(df, fwd, cfg: MiningConfig, out_dir: Path, log):
     """Triptych previews for the top-ranked candidates
-    (mine_hard_cases.py:215-252): image | prob heatmap | mask overlay."""
+    (mine_hard_cases.py:215-252): image | prob heatmap | mask overlay.
+
+    Inference runs at cfg.batch_size (tail cycle-padded) so it reuses
+    the program already compiled during scoring — a bs-1 call would
+    trigger a fresh multi-minute compile on this runtime."""
     import cv2
 
     pdir = out_dir / "previews"
     pdir.mkdir(parents=True, exist_ok=True)
     S = cfg.img_size
-    n = 0
+    imgs, ranks, paths = [], [], []
     for rank, row in df.iterrows():
         bgr = cv2.imread(row["path"], cv2.IMREAD_COLOR)
         if bgr is None:
@@ -179,9 +179,24 @@ def _save_previews(df, fwd, cfg: MiningConfig, out_dir: Path, log):
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
         lb = G.letterbox_side_pad(
             rgb, side_padding_ratio=cfg.side_padding_ratio)
-        img = cv2.resize(lb, (S, S), interpolation=cv2.INTER_LINEAR)
-        probs, probs_flip = fwd(jnp.asarray(img[None]))
-        p = np.asarray((probs + probs_flip) / 2.0)[0]
+        imgs.append(cv2.resize(lb, (S, S),
+                               interpolation=cv2.INTER_LINEAR))
+        ranks.append(rank)
+        paths.append(row["path"])
+    if not imgs:
+        return
+    n_real = len(imgs)
+    pad = (-n_real) % cfg.batch_size
+    imgs = imgs + [imgs[0]] * pad
+    probs_all = []
+    for i in range(0, len(imgs), cfg.batch_size):
+        probs, probs_flip = fwd(jnp.asarray(
+            np.stack(imgs[i:i + cfg.batch_size])))
+        probs_all.append(np.asarray((probs + probs_flip) / 2.0))
+    probs_all = np.concatenate(probs_all)[:n_real]
+
+    for k in range(n_real):
+        img, p = imgs[k], probs_all[k]
         heat = cv2.applyColorMap((p * 255).astype(np.uint8),
                                  cv2.COLORMAP_JET)
         m = (p > cfg.threshold).astype(np.uint8)
@@ -192,7 +207,7 @@ def _save_previews(df, fwd, cfg: MiningConfig, out_dir: Path, log):
         panel = np.concatenate(
             [cv2.cvtColor(img, cv2.COLOR_RGB2BGR), heat,
              cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR)], axis=1)
-        cv2.imwrite(str(pdir / f"{rank:04d}_{Path(row['path']).stem}.png"),
-                    panel)
-        n += 1
-    log(f"Saved {n} previews to {pdir}")
+        cv2.imwrite(
+            str(pdir / f"{ranks[k]:04d}_{Path(paths[k]).stem}.png"),
+            panel)
+    log(f"Saved {n_real} previews to {pdir}")

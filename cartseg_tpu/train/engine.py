@@ -277,13 +277,15 @@ class Trainer:
                 active_eff = active * ok
                 grads = jax.tree_util.tree_map(
                     lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+                loss = jnp.where(ok > 0, loss, 0.0)  # keep CSV means clean
             else:
+                ok = jnp.float32(1.0)
                 active_eff = active
             new_params, new_opt = adamw_update(
                 state.params, grads, state.opt, gids, lrs, active_eff, wd)
             new_state = state.replace(params=new_params, batch_stats=bs,
                                       opt=new_opt, step=state.step + 1)
-            return new_state, loss, comps
+            return new_state, loss, ok, comps
 
         return step
 
@@ -344,10 +346,21 @@ class Trainer:
             sharding = batch_sharding(self.mesh)
         loader = Loader(train_ds, cfg.batch_size,
                         num_threads=cfg.num_threads, sharding=sharding)
-        val_loader = Loader(val_ds, cfg.batch_size, drop_last=False,
+        val_loader = Loader(val_ds, cfg.batch_size, drop_last=True,
                             num_threads=cfg.num_threads, sharding=sharding)
-        # static shapes for XLA: pad val to full batches
-        val_loader.drop_last = False
+
+        def val_order():
+            """Full-batch val plan: every sample once, the tail batch
+            cycle-padded so XLA sees one static shape (a ragged final
+            batch forces an extra 20-450s compile on this runtime and
+            would bypass the mesh sharding). The <=bs-1 duplicated
+            samples slightly overweight the earliest indices, matching
+            the reference's own uneven mean-of-batch-means weighting."""
+            n = len(val_ds)
+            if n == 0:
+                return np.zeros((0,), np.int64)
+            pad = (-n) % cfg.batch_size
+            return np.concatenate([np.arange(n), np.arange(pad) % n])
 
         train_step = self._train_step_fn()
         eval_step = self._eval_step_fn()
@@ -418,7 +431,7 @@ class Trainer:
                     epoch, cfg.pseudo_w_start, cfg.pseudo_w_end,
                     cfg.pseudo_ramp_epochs)
 
-            losses, comps_acc = [], []
+            losses, oks, comps_acc = [], [], []
             from cartseg_tpu.utils.profiling import maybe_trace, StepTimer
             timer = StepTimer()
             with maybe_trace(cfg.trace_dir if epoch == 0 else None):
@@ -430,9 +443,10 @@ class Trainer:
                         sw = jnp.asarray(w_epoch[src_of_global[idxs]])
                     else:
                         sw = jnp.ones((imgs.shape[0],), jnp.float32)
-                    state, loss, comps = train_step(
+                    state, loss, ok, comps = train_step(
                         state, imgs, masks, sw, key, lrs, active, gids)
                     losses.append(loss)
+                    oks.append(ok)
                     if comps:
                         comps_acc.append(comps)
                     images_seen += imgs.shape[0]
@@ -440,13 +454,18 @@ class Trainer:
 
             # validation
             vlosses, suites = [], []
-            for imgs, masks in val_loader(np.arange(len(val_ds))):
+            for imgs, masks in val_loader(val_order()):
                 vloss, suite = eval_step(state, imgs, masks)
                 vlosses.append(vloss)
                 suites.append(suite)
 
-            # one host sync per epoch
-            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            # one host sync per epoch; skipped (non-finite) batches are
+            # excluded from the mean
+            if losses:
+                n_ok = jnp.maximum(jnp.sum(jnp.stack(oks)), 1.0)
+                train_loss = float(jnp.sum(jnp.stack(losses)) / n_ok)
+            else:
+                train_loss = 0.0
             val_loss = float(jnp.mean(jnp.stack(vlosses))) if vlosses else 0.0
             suite = {k: float(jnp.mean(jnp.stack([s[k] for s in suites])))
                      for k in suites[0]} if suites else {}
@@ -516,7 +535,7 @@ class Trainer:
         thresholds = np.linspace(lo, hi, int(n))
         sweep_step = self._sweep_step_fn(thresholds)
         dsum, isum = [], []
-        for imgs, masks in val_loader(np.arange(len(val_ds))):
+        for imgs, masks in val_loader(val_order()):
             d, i = sweep_step(state, imgs, masks)
             dsum.append(d)
             isum.append(i)

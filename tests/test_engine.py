@@ -247,9 +247,10 @@ def test_nonfinite_loss_skips_update(rng):
     active = jnp.ones((3,))
     sw = jnp.ones((2,))
     before = jax.tree_util.tree_leaves(state.params)[0].copy()
-    new_state, loss, _ = step(state, imgs, masks, sw, jax.random.key(0),
-                              lrs, active, gids)
-    assert not np.isfinite(float(loss))
+    new_state, loss, ok, _ = step(state, imgs, masks, sw, jax.random.key(0),
+                                  lrs, active, gids)
+    assert float(ok) == 0.0          # batch flagged as skipped
+    assert float(loss) == 0.0        # cleaned for the epoch mean
     after = jax.tree_util.tree_leaves(new_state.params)[0]
     np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
     assert int(new_state.opt.count.sum()) == 0
@@ -270,9 +271,9 @@ def test_grad_clipping_bounds_update(rng):
     masks = jnp.asarray((rng.random((2, 16, 16, 1)) > 0.5)
                         .astype(np.float32))
     before = jax.tree_util.tree_leaves(state.params)[0].copy()
-    new_state, loss, _ = step(state, imgs, masks, jnp.ones((2,)),
-                              jax.random.key(0), jnp.asarray([1.0] * 3),
-                              jnp.ones((3,)), gids)
+    new_state, loss, ok, _ = step(state, imgs, masks, jnp.ones((2,)),
+                                  jax.random.key(0), jnp.asarray([1.0] * 3),
+                                  jnp.ones((3,)), gids)
     after = jax.tree_util.tree_leaves(new_state.params)[0]
     # with grads clipped to ~0, adam's mhat/sqrt(vhat) is ~sign-scaled;
     # the update is dominated by weight decay at lr 1 -> bounded change

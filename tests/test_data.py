@@ -203,3 +203,30 @@ def test_loader_roundtrip(tmp_path):
     imgs, masks = batches[0]
     assert imgs.shape == (4, 32, 32, 3)
     assert masks.shape == (4, 32, 32, 1)
+
+
+def test_per_sample_warp_differs_across_batch(rng):
+    """per_sample_warp=True draws independent geometric params per
+    sample (distribution-exact albumentations mode)."""
+    img = np.zeros((4, 32, 32, 3), np.uint8)
+    img[:, 8:24, 8:24] = 255
+    masks = np.zeros((4, 32, 32, 1), np.float32)
+    masks[:, 8:24, 8:24] = 1.0
+    cfg = AugmentConfig(hflip_p=0, rotate_p=1.0, rotate_limit=30,
+                        scale_p=0, brightness_contrast_p=0, hsv_p=0,
+                        noise_p=0, motion_blur_p=0, per_sample_warp=True)
+    oi, om = augment_batch(jax.random.key(5), jnp.asarray(img),
+                           jnp.asarray(masks), cfg)
+    om = np.asarray(om)
+    # identical inputs, per-sample angles -> outputs differ across batch
+    assert not np.array_equal(om[0], om[1]) or \
+           not np.array_equal(om[1], om[2])
+    assert set(np.unique(om)) <= {0.0, 1.0}
+    # shared mode: all outputs identical for identical inputs
+    cfg2 = AugmentConfig(hflip_p=0, rotate_p=1.0, rotate_limit=30,
+                         scale_p=0, brightness_contrast_p=0, hsv_p=0,
+                         noise_p=0, motion_blur_p=0, per_sample_warp=False)
+    oi2, om2 = augment_batch(jax.random.key(5), jnp.asarray(img),
+                             jnp.asarray(masks), cfg2)
+    om2 = np.asarray(om2)
+    assert np.array_equal(om2[0], om2[1]) and np.array_equal(om2[1], om2[3])

@@ -79,19 +79,51 @@ def precision_recall_f1(logits, targets, t: float = 0.5, eps: float = 1e-7):
     return jnp.mean(precision), jnp.mean(recall), jnp.mean(f1)
 
 
+def eval_suite_per_sample(logits, targets, t: float = 0.5,
+                          smooth: float = 1.0,
+                          eps: float = 1e-7) -> Dict[str, jnp.ndarray]:
+    """Every validation metric as a per-sample [B] vector (one fused
+    jit region; the batch reductions of eval_suite / eval_suite_sums
+    are taken over these)."""
+    probs = jax.nn.sigmoid(_f32(logits))
+    targets = _f32(targets)
+    preds = (probs > t).astype(jnp.float32)
+
+    inter_soft = jnp.sum(probs * targets, _SPATIAL)
+    den_soft = jnp.sum(probs, _SPATIAL) + jnp.sum(targets, _SPATIAL)
+    dice = (2.0 * inter_soft + smooth) / (den_soft + smooth + eps)
+
+    tp = jnp.sum(preds * targets, _SPATIAL)
+    fp = jnp.sum(preds * (1.0 - targets), _SPATIAL)
+    fn = jnp.sum((1.0 - preds) * targets, _SPATIAL)
+    union = tp + fp + fn
+    iou = (tp + eps) / (union + eps)
+    dice_b = (2.0 * tp + eps) / (2.0 * tp + fp + fn + eps)
+    precision = (tp + eps) / (tp + fp + eps)
+    recall = (tp + eps) / (tp + fn + eps)
+    f1 = 2.0 * precision * recall / (precision + recall + eps)
+    return {
+        "dice": dice, "iou": iou, "dice_bin": dice_b, "iou_bin": iou,
+        "precision": precision, "recall": recall, "f1": f1,
+    }
+
+
 def eval_suite(logits, targets, t: float = 0.5) -> Dict[str, jnp.ndarray]:
     """All per-batch validation metrics in one fused jit region."""
-    dice_b, iou_b = dice_iou_at(logits, targets, t)
-    p, r, f1 = precision_recall_f1(logits, targets, t)
-    return {
-        "dice": soft_dice(logits, targets),
-        "iou": iou_at(logits, targets, t),
-        "dice_bin": dice_b,
-        "iou_bin": iou_b,
-        "precision": p,
-        "recall": r,
-        "f1": f1,
-    }
+    per = eval_suite_per_sample(logits, targets, t)
+    return {k: jnp.mean(v) for k, v in per.items()}
+
+
+def eval_suite_sums(logits, targets, w, t: float = 0.5
+                    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Weighted SUMS of the per-sample metrics plus the weight total —
+    the exact-mean validation aggregation: the caller accumulates sums
+    across batches and divides once, so cycle-padded tail samples
+    (weight 0) contribute nothing (replaces the reference-style
+    mean-of-batch-means overweighting)."""
+    per = eval_suite_per_sample(logits, targets, t)
+    w = _f32(w)
+    return {k: jnp.sum(v * w) for k, v in per.items()}, jnp.sum(w)
 
 
 def threshold_sweep_stats(logits, targets, thresholds) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,6 +151,29 @@ def threshold_sweep_stats(logits, targets, thresholds) -> Tuple[jnp.ndarray, jnp
         return jnp.mean(dice), jnp.mean(iou)
 
     return jax.vmap(at)(jnp.asarray(thresholds, jnp.float32))
+
+
+def threshold_sweep_sums(logits, targets, thresholds, w
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Weighted-sum variant of threshold_sweep_stats: returns
+    (dice_sums [T], iou_sums [T], n) so the caller's cross-batch
+    aggregation is an exact mean (cycle-padded tail samples carry w=0)."""
+    probs = jax.nn.sigmoid(_f32(logits))
+    targets = _f32(targets)
+    w = _f32(w)
+
+    def at(t):
+        preds = (probs > t).astype(jnp.float32)
+        inter = jnp.sum(preds * targets, _SPATIAL)
+        den = jnp.sum(preds, _SPATIAL) + jnp.sum(targets, _SPATIAL)
+        union = den - inter
+        eps = 1e-7
+        dice = (2.0 * inter + eps) / (den + eps)
+        iou = (inter + eps) / (union + eps)
+        return jnp.sum(dice * w), jnp.sum(iou * w)
+
+    d, i = jax.vmap(at)(jnp.asarray(thresholds, jnp.float32))
+    return d, i, jnp.sum(w)
 
 
 def threshold_sweep_dice_smooth(logits, targets, thresholds) -> jnp.ndarray:

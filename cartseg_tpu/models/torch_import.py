@@ -166,6 +166,67 @@ def import_smp_unet(state_dict, encoder_name: str = "resnet34"):
     return flax.core.freeze(tb.variables()).unfreeze()
 
 
+def import_encoder_state_dict(state_dict, encoder_name: str = "resnet34"):
+    """Raw torchvision-resnet34 / timm-efficientnet_b0 state dict (the
+    ImageNet checkpoint format, NO 'encoder.' prefix) -> encoder-subtree
+    variables {'params': {'encoder': ...}, 'batch_stats': {...}}.
+
+    This is the TPU equivalent of smp's encoder_weights="imagenet"
+    (train_bce_dice.py:297; src/train_with_pretrained.py:317-325): the
+    encoder starts from the converted checkpoint, decoder/head stay at
+    their fresh init. Classifier keys (fc.*, classifier.*, conv_head.*,
+    bn2.* on timm B0) are ignored."""
+    tb = _TreeBuilder()
+    if encoder_name.startswith("resnet"):
+        sizes = _RESNET34_SIZES if encoder_name == "resnet34" else (2, 2, 2, 2)
+        _import_resnet_encoder(tb, dict(state_dict), sizes)
+    elif encoder_name == "efficientnet-b0":
+        _import_effnet_encoder(tb, dict(state_dict))
+    else:
+        raise ValueError(encoder_name)
+    return tb.variables()
+
+
+def load_pretrained_encoder(variables, state_dict,
+                            encoder_name: str = "resnet34"):
+    """Merge a converted encoder checkpoint into freshly-initialized
+    model variables, asserting every leaf shape matches. Returns new
+    variables (input not mutated)."""
+    import jax
+
+    enc = import_encoder_state_dict(state_dict, encoder_name)
+
+    def merge(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"converted key {path}/{k} not in model")
+            if isinstance(v, dict):
+                out[k] = merge(dst[k], v, f"{path}/{k}")
+            else:
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: model "
+                        f"{tuple(dst[k].shape)} vs checkpoint "
+                        f"{tuple(v.shape)}")
+                out[k] = v.astype(dst[k].dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_params = dict(new_vars["params"])
+    new_params["encoder"] = merge(new_vars["params"]["encoder"],
+                                  enc["params"]["encoder"], "params/encoder")
+    new_vars["params"] = new_params
+    new_stats = dict(new_vars.get("batch_stats", {}))
+    new_stats["encoder"] = merge(new_stats["encoder"],
+                                 enc["batch_stats"]["encoder"],
+                                 "batch_stats/encoder")
+    new_vars["batch_stats"] = new_stats
+    n_leaves = len(jax.tree_util.tree_leaves(enc))
+    assert n_leaves > 50, f"suspiciously small encoder import: {n_leaves}"
+    return new_vars
+
+
 def import_classic_unet(state_dict):
     """Classic UNet (create_testset.py:40-83) .pth -> flax variables.
     Expected torch naming: downs.{i}.conv{1,2}, bottleneck.conv{1,2},

@@ -43,6 +43,10 @@ class TrainConfig:
     #                       memory headroom at the cost of recompute)
     init_checkpoint: Optional[str] = None       # flax ckpt dir
     init_torch_checkpoint: Optional[str] = None  # reference .pth
+    # ImageNet-pretrained encoder (.pth/.npz in torchvision-resnet34 or
+    # timm-efficientnet_b0 naming) — the encoder_weights="imagenet"
+    # equivalent (train_bce_dice.py:297). Decoder/head stay fresh.
+    pretrained_encoder: Optional[str] = None
 
     # --- data
     images_root: Optional[str] = None

@@ -111,3 +111,40 @@ def test_eval_suite_keys(rng):
     out = M.eval_suite(jnp.asarray(logits), jnp.asarray(targets))
     assert set(out) == {"dice", "iou", "dice_bin", "iou_bin",
                         "precision", "recall", "f1"}
+
+
+def test_eval_suite_sums_masks_padding_exactly(rng):
+    """Cycle-padded tail duplicates (w=0) must contribute nothing:
+    weighted sums over the padded batch divided by n equal eval_suite
+    means over the unpadded prefix (VERDICT r1 weak #7)."""
+    logits, targets = _rand(rng)
+    n_real = logits.shape[0] - 2
+    padded_l = np.concatenate([logits, logits[:2] * 3.0])
+    padded_t = np.concatenate([targets, 1.0 - targets[:2]])
+    w = np.concatenate([np.ones(logits.shape[0]), np.zeros(2)])
+    # but only the first n_real of the originals count
+    w[n_real:logits.shape[0]] = 0.0
+    sums, n = M.eval_suite_sums(jnp.asarray(padded_l), jnp.asarray(padded_t),
+                                jnp.asarray(w))
+    assert float(n) == n_real
+    exact = M.eval_suite(jnp.asarray(logits[:n_real]),
+                         jnp.asarray(targets[:n_real]))
+    for k in exact:
+        assert float(sums[k]) / n_real == pytest.approx(float(exact[k]),
+                                                        abs=1e-5)
+
+
+def test_threshold_sweep_sums_masks_padding_exactly(rng):
+    logits, targets = _rand(rng)
+    ts = np.linspace(0.2, 0.8, 5)
+    pad_l = np.concatenate([logits, logits[:3]])
+    pad_t = np.concatenate([targets, targets[:3]])
+    w = np.concatenate([np.ones(logits.shape[0]), np.zeros(3)])
+    d, i, n = M.threshold_sweep_sums(jnp.asarray(pad_l), jnp.asarray(pad_t),
+                                     ts, jnp.asarray(w))
+    dref, iref = M.threshold_sweep_stats(jnp.asarray(logits),
+                                         jnp.asarray(targets), ts)
+    np.testing.assert_allclose(np.asarray(d) / float(n), np.asarray(dref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i) / float(n), np.asarray(iref),
+                               atol=1e-6)

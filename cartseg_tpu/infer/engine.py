@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from cartseg_tpu.models import build_model, init_model
 from cartseg_tpu.train import checkpoint as ckpt_lib
-from cartseg_tpu.ops.edges import sobel_edges, mask_boundary, rgb_to_gray
+from cartseg_tpu.ops.edges import (sobel_edges, canny_edges,
+                                    mask_boundary, rgb_to_gray)
 
 
 @dataclasses.dataclass
@@ -106,11 +107,16 @@ def entropy_map(p, eps: float = 1e-6):
     return -(p * jnp.log(p) + (1.0 - p) * jnp.log(1.0 - p))
 
 
-def qc_stats_fn(edge_threshold: float = 120.0) -> Callable:
+def qc_stats_fn(edge_threshold: float = 120.0,
+                edge_method: str = "canny",
+                canny_low: float = 50.0,
+                canny_high: float = 150.0) -> Callable:
     """jitted fn(probs, probs_flip, images_u8, threshold) -> dict of
     per-image QC stats [B] matching create_pseudo_labels.py:233-240:
     fg_area, fg_conf (median |p-.5|*2), mean_entropy, tta_iou,
-    edge_hit."""
+    edge_hit. edge_method='canny' reproduces the reference's
+    cv2.Canny(50,150) gate on device (create_pseudo_labels.py:178-189);
+    'sobel' is the cheaper single-threshold knob."""
 
     @jax.jit
     def stats(probs, probs_flip, images_u8, threshold):
@@ -126,7 +132,11 @@ def qc_stats_fn(edge_threshold: float = 120.0) -> Callable:
         tta_iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
 
         def one_edge(img, m):
-            edges = sobel_edges(rgb_to_gray(img), edge_threshold)
+            gray = rgb_to_gray(img)
+            if edge_method == "canny":
+                edges = canny_edges(gray, canny_low, canny_high)
+            else:
+                edges = sobel_edges(gray, edge_threshold)
             boundary = mask_boundary(m)
             tot = jnp.sum(boundary)
             return jnp.where(tot > 0,

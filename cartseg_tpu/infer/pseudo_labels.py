@@ -79,6 +79,11 @@ class PseudoLabelConfig:
     save_probs: bool = True
     save_overlays: bool = True
     shuffle_seed: int = 0
+    # QC edge gate: 'canny' reproduces cv2.Canny(50,150)
+    # (create_pseudo_labels.py:178-189); 'sobel' uses edge_threshold
+    edge_method: str = "canny"
+    canny_low: float = 50.0
+    canny_high: float = 150.0
     edge_threshold: float = 120.0
 
 
@@ -113,7 +118,9 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
     mean = IMAGENET_MEAN if cfg.imagenet_norm else (0, 0, 0)
     std = IMAGENET_STD if cfg.imagenet_norm else (1, 1, 1)
     fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
-    qc = qc_stats_fn(edge_threshold=cfg.edge_threshold)
+    qc = qc_stats_fn(edge_threshold=cfg.edge_threshold,
+                     edge_method=cfg.edge_method,
+                     canny_low=cfg.canny_low, canny_high=cfg.canny_high)
     min_area = int(cfg.img_size * cfg.img_size * cfg.min_area_frac)
     clean = jax.jit(jax.vmap(
         lambda m: remove_small_components(m, min_area)))

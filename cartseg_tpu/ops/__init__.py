@@ -11,7 +11,8 @@ from cartseg_tpu.ops.connected_components import (
     connected_components, keep_largest_component, remove_small_components,
     count_components,
 )
-from cartseg_tpu.ops.edges import sobel_edges, mask_boundary, edge_hit_rate
+from cartseg_tpu.ops.edges import (sobel_edges, canny_edges,
+                                    mask_boundary, edge_hit_rate)
 
 __all__ = [
     "edt", "distance_transform_edt",
@@ -19,5 +20,5 @@ __all__ = [
     "fill_holes_from_border", "fill_small_holes",
     "connected_components", "keep_largest_component",
     "remove_small_components", "count_components",
-    "sobel_edges", "mask_boundary", "edge_hit_rate",
+    "sobel_edges", "canny_edges", "mask_boundary", "edge_hit_rate",
 ]

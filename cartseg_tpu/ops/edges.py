@@ -1,12 +1,13 @@
 """Edge maps and boundary statistics on device — the TPU-native stand-in
 for the cv2 Canny/findContours QC path (create_pseudo_labels.py:178-189).
 
-Canny's hysteresis is branch-heavy and serial; on TPU we use a Sobel
-gradient-magnitude edge map with a single threshold, which serves the
-same QC purpose ("does the predicted mask boundary lie on image
-edges?"). The default threshold is calibrated so acceptance decisions
-track Canny(50,150) on natural images; it is a config knob in the
-pseudo-label engine.
+Two edge detectors:
+  * canny_edges — faithful device Canny: Sobel-3 with replicate border,
+    L1 gradient magnitude, sector-quantized non-maximum suppression and
+    double-threshold hysteresis via an iterative masked dilation
+    (lax.while_loop). Mirrors cv2.Canny(gray, low, high) semantics
+    (default L2gradient=False) and is the default QC gate.
+  * sobel_edges — single-threshold gradient magnitude, a cheaper knob.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cartseg_tpu.ops.morphology import erode
+from cartseg_tpu.ops.morphology import dilate, erode
 
 _SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
 _SOBEL_Y = _SOBEL_X.T
@@ -46,6 +47,85 @@ def sobel_edges(gray, threshold: float = 120.0):
     return mag >= threshold
 
 
+def _shift(a, dy: int, dx: int):
+    """Shift a 2-D array, zero-filling vacated cells (static shifts)."""
+    H, W = a.shape
+    out = jnp.zeros_like(a)
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    ys_src = slice(max(-dy, 0), H + min(-dy, 0))
+    xs_src = slice(max(-dx, 0), W + min(-dx, 0))
+    return out.at[ys, xs].set(a[ys_src, xs_src])
+
+
+def _sobel_replicate(gray):
+    """Sobel-3 dx, dy with replicate border (cv2 BORDER_REPLICATE, the
+    border cv2.Canny uses). Returns (gx, gy) float32."""
+    g = jnp.pad(jnp.asarray(gray, jnp.float32), 1, mode="edge")
+    g4 = g[None, :, :, None]
+    kx = _SOBEL_X[:, :, None, None]
+    ky = _SOBEL_Y[:, :, None, None]
+    gx = jax.lax.conv_general_dilated(
+        g4, kx, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    gy = jax.lax.conv_general_dilated(
+        g4, ky, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+    return gx, gy
+
+
+def canny_edges(gray, low: float = 50.0, high: float = 150.0,
+                max_hysteresis_iters: int = 256):
+    """Device Canny matching cv2.Canny(gray, low, high) semantics:
+    Sobel-3 (replicate border), L1 magnitude |gx|+|gy| (cv2 default
+    L2gradient=False), 4-sector non-maximum suppression, and hysteresis
+    (edges = pixels above `high`, plus above-`low` pixels 8-connected
+    to one through other above-`low` pixels), realised as a masked
+    dilation fixpoint under lax.while_loop. Reference QC gate:
+    create_pseudo_labels.py:178-189 uses Canny(50,150)."""
+    gx, gy = _sobel_replicate(gray)
+    mag = jnp.abs(gx) + jnp.abs(gy)
+
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    tg22 = 0.4142135623730951  # tan(22.5 deg)
+    horiz = ay <= tg22 * ax                       # gradient ~horizontal
+    vert = ax <= tg22 * ay                        # gradient ~vertical
+    diag = ~(horiz | vert)
+    same_sign = (gx * gy) >= 0.0                  # 45deg vs 135deg
+
+    n_l, n_r = _shift(mag, 0, 1), _shift(mag, 0, -1)
+    n_u, n_d = _shift(mag, 1, 0), _shift(mag, -1, 0)
+    n_ul, n_dr = _shift(mag, 1, 1), _shift(mag, -1, -1)
+    n_ur, n_dl = _shift(mag, 1, -1), _shift(mag, -1, 1)
+
+    keep_h = (mag > n_l) & (mag >= n_r)
+    keep_v = (mag > n_u) & (mag >= n_d)
+    keep_d1 = (mag > n_ul) & (mag >= n_dr)   # 135deg (same sign grads)
+    keep_d2 = (mag > n_ur) & (mag >= n_dl)   # 45deg
+    keep = jnp.where(horiz, keep_h,
+                     jnp.where(vert, keep_v,
+                               jnp.where(same_sign & diag, keep_d1,
+                                         keep_d2)))
+
+    strong = keep & (mag > high)
+    weak = keep & (mag > low)
+
+    def body(state):
+        cur, _, i = state
+        grown = weak & dilate(cur, 3, shape="square")
+        delta = jnp.sum(grown.astype(jnp.int32)) - jnp.sum(
+            cur.astype(jnp.int32))
+        return grown, delta, i + 1
+
+    def cond(state):
+        _, delta, i = state
+        return (delta > 0) & (i < max_hysteresis_iters)
+
+    init = (strong, jnp.array(1, jnp.int32), jnp.array(0, jnp.int32))
+    final, _, _ = jax.lax.while_loop(cond, body, init)
+    return final
+
+
 def mask_boundary(mask):
     """1-px inner boundary of a bool mask — the device analog of
     drawContours(thickness=1) over RETR_EXTERNAL contours."""
@@ -53,11 +133,18 @@ def mask_boundary(mask):
     return mask & ~erode(mask, 3, shape="square")
 
 
-def edge_hit_rate(rgb, mask, threshold: float = 120.0):
+def edge_hit_rate(rgb, mask, threshold: float = 120.0,
+                  method: str = "canny",
+                  low: float = 50.0, high: float = 150.0):
     """Fraction of mask-boundary pixels that land on image edges
     (edge_hit_rate, create_pseudo_labels.py:178-189). 0.0 when the
-    boundary is empty."""
-    edges = sobel_edges(rgb_to_gray(rgb), threshold)
+    boundary is empty. method='canny' (reference-faithful default,
+    Canny(50,150)) or 'sobel' (single `threshold` on |grad|)."""
+    gray = rgb_to_gray(rgb)
+    if method == "canny":
+        edges = canny_edges(gray, low, high)
+    else:
+        edges = sobel_edges(gray, threshold)
     boundary = mask_boundary(mask)
     tot = jnp.sum(boundary)
     hits = jnp.sum(edges & boundary)

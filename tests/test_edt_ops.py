@@ -162,11 +162,29 @@ def test_edge_hit_rate_behaviour(rng):
     img[:, 32:] = 255.0
     m = np.zeros((64, 64), bool)
     m[:, 32:] = True
-    high = float(edge_hit_rate(jnp.asarray(img), jnp.asarray(m)))
-    # same mask on a flat image -> no edges to hit
-    low = float(edge_hit_rate(jnp.zeros((64, 64, 3)), jnp.asarray(m)))
+    # sobel keeps both columns of a knife edge
+    high = float(edge_hit_rate(jnp.asarray(img), jnp.asarray(m),
+                               method="sobel"))
+    # canny NMS keeps only ONE column of a synthetic 1px knife edge
+    # (exactly like cv2 — its tie-break keeps the dark side, missing
+    # the inner mask boundary); a realistically blurred edge spans the
+    # boundary and hits. Make a 2px-ramp edge:
+    # (asymmetric ramp so the gradient maximum — the surviving NMS
+    # column — is exactly the inner-boundary column 32)
+    img_blur = np.zeros((64, 64, 3), np.float32)
+    img_blur[:, 31] = 40.0
+    img_blur[:, 32] = 200.0
+    img_blur[:, 33:] = 255.0
+    high_canny = float(edge_hit_rate(jnp.asarray(img_blur), jnp.asarray(m),
+                                     method="canny"))
+    # same mask on a flat image -> no edges to hit (both methods)
+    low = float(edge_hit_rate(jnp.zeros((64, 64, 3)), jnp.asarray(m),
+                              method="sobel"))
+    low_canny = float(edge_hit_rate(jnp.zeros((64, 64, 3)),
+                                    jnp.asarray(m), method="canny"))
     assert high > 0.4
-    assert low == 0.0
+    assert high_canny > 0.4
+    assert low == 0.0 and low_canny == 0.0
 
 
 def test_sobel_edges_on_step():

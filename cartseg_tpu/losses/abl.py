@@ -172,10 +172,19 @@ def active_boundary_loss(
     valid = pred_bound & (direction_gt != 8)
 
     weight_ce = jnp.clip(dist_map, max=max_clip_dist) / max_clip_dist
-    ce = lsr_cross_entropy(
-        kl_stack, jnp.where(direction_gt == 8, 0, direction_gt),
-        lb_smooth=label_smoothing, reduction="none",
-        ignore_index=ignore_label)
+    safe_gt = jnp.where(direction_gt == 8, 0, direction_gt)
+    from cartseg_tpu.losses.region import use_pallas_losses
+    if use_pallas_losses():
+        # Tier-B lane: the fused Mosaic LSR kernel (ops/pallas/lsr.py),
+        # the analog of the reference actually training through lsr_cpp
+        # (abl_training/setup.py:13). Measured docs/CHIP_PARITY.md.
+        from cartseg_tpu.ops.pallas import lsr_ce_pallas
+        ce = lsr_ce_pallas(kl_stack, safe_gt.astype(jnp.int32),
+                           label_smoothing, ignore_label)
+    else:
+        ce = lsr_cross_entropy(
+            kl_stack, safe_gt, lb_smooth=label_smoothing,
+            reduction="none", ignore_index=ignore_label)
     contrib = ce * weight_ce * valid.astype(jnp.float32)
     n_valid = jnp.sum(valid)
     loss = jnp.sum(contrib) / jnp.maximum(n_valid, 1)

@@ -22,10 +22,25 @@ speed-of-light for their HBM-bound profile.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 _SPATIAL = (1, 2, 3)
+
+
+def use_pallas_losses() -> bool:
+    """Route soft_dice_loss / focal_loss_kernel (and ABL's direction
+    CE) through their Tier-B Pallas kernels. On-chip measurements
+    (docs/CHIP_PARITY.md, fwd+bwd at hot-path shapes): soft_dice 1.09x,
+    focal 0.99x, lsr 0.87x vs the fused XLA forms — within noise of an
+    HBM-bound profile, so the default stays XLA; the flag exists to
+    flip per-deployment (the reference runs its one built kernel in
+    training, label_smooth.py:125-178 — here both lanes are wired and
+    parity-tested either way)."""
+    return (os.environ.get("CARTSEG_PALLAS_LOSSES", "0") == "1"
+            and jax.default_backend() == "tpu")
 
 
 def _f32(x):
@@ -86,8 +101,20 @@ def focal_loss(logits, targets, alpha: float = 0.25, gamma: float = 2.0,
     return loss
 
 
+def focal_loss_kernel(logits, targets, gamma: float = 2.0,
+                      alpha: float = 0.25):
+    """Public dispatch: Pallas fused kernel under use_pallas_losses(),
+    else the XLA custom-VJP form (identical semantics, parity-tested,
+    docs/CHIP_PARITY.md fwd+bwd 0.99x)."""
+    if use_pallas_losses():
+        from cartseg_tpu.ops.pallas import focal_pallas
+        return focal_pallas(_f32(logits), _f32(targets), gamma, alpha)
+    return _focal_loss_kernel_xla(logits, targets, gamma, alpha)
+
+
 @jax.custom_vjp
-def focal_loss_kernel(logits, targets, gamma: float = 2.0, alpha: float = 0.25):
+def _focal_loss_kernel_xla(logits, targets, gamma: float = 2.0,
+                           alpha: float = 0.25):
     """CUDA-kernel focal variant with the hand-derived backward of
     focal_kernel.cu:55-90 mirrored as a custom VJP (the reference ships
     a fused fwd+bwd kernel; on TPU the VJP keeps the same one-pass
@@ -127,7 +154,7 @@ def _focal_kernel_bwd(res, g):
     return (g * grad, None, None, None)
 
 
-focal_loss_kernel.defvjp(_focal_kernel_fwd, _focal_kernel_bwd)
+_focal_loss_kernel_xla.defvjp(_focal_kernel_fwd, _focal_kernel_bwd)
 
 
 def focal_dice_loss(logits, targets, alpha: float = 0.5, gamma: float = 2.0,
@@ -150,6 +177,9 @@ def soft_dice_loss(logits, labels, p: float = 1.0, smooth: float = 1.0):
     """
     logits = _f32(logits)
     labels = _f32(labels)
+    if use_pallas_losses():
+        from cartseg_tpu.ops.pallas import soft_dice_pallas
+        return soft_dice_pallas(logits, labels, p, smooth)
     probs = jax.nn.sigmoid(logits)
     axes = tuple(range(1, logits.ndim))
     numer = jnp.sum(2.0 * probs * labels, axes)

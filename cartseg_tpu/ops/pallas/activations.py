@@ -12,28 +12,61 @@ from jax.experimental.pallas import tpu as pltpu
 from cartseg_tpu.ops.pallas.common import interpret_mode, cdiv
 
 _LANES = 128
-_ROWS = 256
+# 2048x128 fp32 = 1 MiB per block buffer (~4 MiB with double buffering,
+# well under the ~16 MiB VMEM): large blocks amortize the per-grid-step
+# Mosaic overhead that made 256-row blocks 5x slower than XLA at 25M
+# elements (docs/CHIP_PARITY.md round-2 measurement).
+_ROWS = 2048
+
+
+def _pick_rows(n_rows: int, target: int):
+    """Largest Mosaic-legal block row count <= target: a multiple of 8
+    dividing n_rows, or n_rows itself (block == array dim). None if no
+    legal tiling exists (caller falls back to the flatten path)."""
+    if n_rows <= target:
+        return n_rows
+    for r in range((target // 8) * 8, 0, -8):
+        if n_rows % r == 0:
+            return r
+    return None
+
+
+def _run_2d(kernel_fn, x2, rows):
+    return pl.pallas_call(
+        kernel_fn,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32),
+        grid=(x2.shape[0] // rows,),
+        in_specs=[pl.BlockSpec((rows, x2.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rows, x2.shape[1]), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret_mode(),
+    )(x2)
 
 
 def _elementwise(kernel_fn, x):
+    """Elementwise kernel dispatch. When the minor dim is already a
+    lane multiple the array maps onto (rows, lanes) blocks with NO
+    logical reshape across the tiled minor dims — measured on-chip,
+    the generic flatten path pays ~1.1 ms relayout EACH WAY at 25M
+    elements (docs/CHIP_PARITY.md), dwarfing the kernel itself."""
     shape = x.shape
-    xf = jnp.asarray(x, jnp.float32).reshape(-1)
+    xf = jnp.asarray(x, jnp.float32)
+    if len(shape) >= 2 and shape[-1] % _LANES == 0:
+        x2 = xf.reshape(-1, shape[-1])  # merges MAJOR dims only: no
+        #                                 relayout of the tiled minors
+        rows = _pick_rows(x2.shape[0], max(8, _ROWS * _LANES // shape[-1]))
+        if rows is not None:
+            return _run_2d(kernel_fn, x2, rows).reshape(shape).astype(
+                x.dtype)
+    xf = xf.reshape(-1)
     n = xf.shape[0]
     per = _ROWS * _LANES
     n_pad = cdiv(n, per) * per - n
     if n_pad:
         xf = jnp.pad(xf, (0, n_pad))
     x2 = xf.reshape(-1, _LANES)
-    out = pl.pallas_call(
-        kernel_fn,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, jnp.float32),
-        grid=(x2.shape[0] // _ROWS,),
-        in_specs=[pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret_mode(),
-    )(x2)
+    out = _run_2d(kernel_fn, x2, _ROWS)
     return out.reshape(-1)[:n].reshape(shape).astype(x.dtype)
 
 

@@ -253,3 +253,21 @@ def test_layer_norm_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(gx), tx.grad.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), tb.grad.numpy(), atol=1e-4)
+
+
+def test_pallas_loss_dispatch_parity(monkeypatch, rng):
+    """CARTSEG_PALLAS_LOSSES routes soft_dice / focal_kernel / ABL CE
+    through the Tier-B kernels; outputs must match the XLA lane (on CPU
+    the kernels run in interpret mode)."""
+    import cartseg_tpu.losses.region as R
+
+    logits = rng.normal(size=(2, 24, 24, 1)).astype(np.float32) * 2
+    labels = (rng.random((2, 24, 24, 1)) > 0.5).astype(np.float32)
+    jl, jt = jnp.asarray(logits), jnp.asarray(labels)
+    base_sd = np.asarray(R.soft_dice_loss(jl, jt))
+    base_fk = np.asarray(R.focal_loss_kernel(jl, jt))
+    monkeypatch.setattr(R, "use_pallas_losses", lambda: True)
+    np.testing.assert_allclose(np.asarray(R.soft_dice_loss(jl, jt)),
+                               base_sd, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(R.focal_loss_kernel(jl, jt)),
+                               base_fk, atol=1e-5)

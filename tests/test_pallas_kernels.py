@@ -90,3 +90,19 @@ def test_smooth_one_hot_pallas(rng):
     ours = np.asarray(smooth_one_hot_pallas(jnp.asarray(labels), 8, 0.2, 255))
     ref = np.asarray(L.smooth_one_hot(jnp.asarray(labels), 8, 0.2, 255))
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_activations_lane_aligned_path(rng):
+    """2-D inputs with a 128-multiple minor dim take the no-relayout
+    block mapping (docs/CHIP_PARITY.md: the flatten path costs ~1.1 ms
+    relayout each way at 25M elements); parity must hold there too,
+    including non-divisible row counts that fall back."""
+    for shape in ((24, 256), (9, 128), (40, 384, 128)):
+        x = rng.normal(size=shape).astype(np.float32) * 5
+        jx = jnp.asarray(x)
+        np.testing.assert_allclose(np.asarray(swish_pallas(jx)),
+                                   np.asarray(L.swish(jx)), atol=1e-5)
+        g1 = jax.grad(lambda v: jnp.sum(swish_pallas(v)))(jx)
+        g2 = jax.grad(lambda v: jnp.sum(L.swish(v)))(jx)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=1e-5)

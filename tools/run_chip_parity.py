@@ -1,0 +1,297 @@
+"""On-chip Pallas verification + kernel micro-benchmarks.
+
+Compiles every Pallas kernel to Mosaic on the REAL TPU chip, asserts
+fwd+grad parity against its Tier-A XLA oracle (the reference's own
+V1-vs-CUDA-kernel equivalence pattern, label_smooth.py:180-259), times
+kernel-vs-oracle at hot-path shapes, and runs a 1-step train + infer
+smoke. Writes docs/CHIP_PARITY.md + docs/chip_parity.json.
+
+Run from the repo root (CLAUDE.md: module CLIs need this cwd):
+
+    python tools/run_chip_parity.py
+
+Timing discipline (CLAUDE.md): block_until_ready is a no-op through
+the relayed runtime, so every measurement jits a K-iteration
+lax.fori_loop whose carry feeds back into the op input (true serial
+dependence) and reads back ONE scalar at the end; wall time / K is the
+per-iteration cost including nothing but device work after warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from datetime import date
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from cartseg_tpu import losses as L  # noqa: E402
+from cartseg_tpu.ops.pallas import (  # noqa: E402
+    lsr_ce_pallas, focal_pallas, soft_dice_pallas,
+    mish_pallas, swish_pallas, hswish_pallas, smooth_one_hot_pallas,
+)
+
+K_ITERS = 30
+WARMUP = 2
+
+
+def _time_scalar_loop(fn, args, k=K_ITERS):
+    """fn(*args) -> scalar. Returns per-iteration seconds with a strict
+    serial chain: carry_{i+1} = carry_i + fn(args perturbed by carry)."""
+
+    @jax.jit
+    def run(*a):
+        def body(_, c):
+            # feed the carry into every input (ints included: the cast
+            # of c*1e-30 is 0 at runtime but not provably at trace time)
+            # so XLA cannot hoist fn out of the loop.
+            perturbed = tuple((x + (c * 1e-30).astype(x.dtype)).astype(
+                x.dtype) for x in a)
+            return c + fn(*perturbed).astype(jnp.float32)
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    for _ in range(WARMUP):
+        float(run(*args))  # host readback = the only trustworthy sync
+    t0 = time.perf_counter()
+    s = float(run(*args))
+    dt = (time.perf_counter() - t0) / k
+    assert np.isfinite(s)
+    return dt
+
+
+def _sum_out(op):
+    return lambda *a: jnp.sum(op(*a))
+
+
+def _grad_scalar(op):
+    """Return fn(*args)->scalar that includes fwd+bwd work."""
+    f = lambda *a: jnp.sum(op(*a))
+
+    def g(*a):
+        val, grads = jax.value_and_grad(f)(*a)
+        return val + jnp.sum(grads) * 1e-30
+    return g
+
+
+def _parity(name, pallas_op, oracle_op, args, atol=1e-4, rtol=1e-4):
+    ours = np.asarray(jax.jit(pallas_op)(*args))
+    ref = np.asarray(jax.jit(oracle_op)(*args))
+    err_f = float(np.max(np.abs(ours - ref)))
+    np.testing.assert_allclose(ours, ref, atol=atol, rtol=rtol,
+                               err_msg=f"{name} forward")
+    g1 = np.asarray(jax.jit(jax.grad(_sum_out(pallas_op)))(*args))
+    g2 = np.asarray(jax.jit(jax.grad(_sum_out(oracle_op)))(*args))
+    err_g = float(np.max(np.abs(g1 - g2)))
+    np.testing.assert_allclose(g1, g2, atol=atol, rtol=rtol,
+                               err_msg=f"{name} grad")
+    return err_f, err_g
+
+
+def main():
+    backend = jax.default_backend()
+    assert backend == "tpu", (
+        f"run_chip_parity must run on the real chip, got {backend!r}")
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(1337)
+    rows = []
+
+    def bench_pair(name, shape_desc, pallas_op, oracle_op, args,
+                   atol=1e-4, rtol=1e-4, grad=True):
+        print(f"[{name}] parity ...", flush=True)
+        err_f, err_g = _parity(name, pallas_op, oracle_op, args, atol, rtol)
+        print(f"[{name}] fwd timing ...", flush=True)
+        t_pal = _time_scalar_loop(_sum_out(pallas_op), args)
+        t_xla = _time_scalar_loop(_sum_out(oracle_op), args)
+        row = dict(kernel=name, shape=shape_desc,
+                   max_err_fwd=err_f, max_err_grad=err_g,
+                   pallas_fwd_ms=t_pal * 1e3, xla_fwd_ms=t_xla * 1e3,
+                   fwd_speedup=t_xla / t_pal)
+        if grad:
+            print(f"[{name}] fwd+bwd timing ...", flush=True)
+            tg_pal = _time_scalar_loop(_grad_scalar(pallas_op), args)
+            tg_xla = _time_scalar_loop(_grad_scalar(oracle_op), args)
+            row.update(pallas_fwdbwd_ms=tg_pal * 1e3,
+                       xla_fwdbwd_ms=tg_xla * 1e3,
+                       fwdbwd_speedup=tg_xla / tg_pal)
+        rows.append(row)
+        print(f"[{name}] ok: fwd {t_pal*1e3:.3f}ms vs xla {t_xla*1e3:.3f}ms",
+              flush=True)
+
+    # ---- LSR CE: ABL's 8-direction CE shape @512^2 (losses/abl.py)
+    logits = jnp.asarray(rng.normal(size=(6, 512, 512, 8)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 8, size=(6, 512, 512)), jnp.int32)
+    labels = labels.at[0, :8, :8].set(255)
+    bench_pair(
+        "lsr_ce", "B6 512x512 C8 +ignore",
+        lambda x, y: lsr_ce_pallas(x, y, 0.1, 255),
+        lambda x, y: L.lsr_cross_entropy(x, y, 0.1, reduction="none",
+                                         ignore_index=255),
+        (logits, labels), atol=2e-4, rtol=1e-3)
+
+    # ---- focal: focal-dice workload shape @224^2 bs20
+    fl = jnp.asarray(rng.normal(size=(20, 224, 224, 1)) * 2, jnp.float32)
+    ft = jnp.asarray((rng.random((20, 224, 224, 1)) > 0.5), jnp.float32)
+    bench_pair(
+        "focal", "B20 224x224",
+        lambda x, y: focal_pallas(x, y, 2.0, 0.25),
+        lambda x, y: L.focal_loss_kernel(x, y, 2.0, 0.25),
+        (fl, ft), atol=1e-4, rtol=1e-3)
+
+    # ---- soft dice: region-loss shape @512^2 bs6
+    dl = jnp.asarray(rng.normal(size=(6, 512, 512, 1)) * 2, jnp.float32)
+    dt_ = jnp.asarray((rng.random((6, 512, 512, 1)) > 0.5), jnp.float32)
+    bench_pair(
+        "soft_dice", "B6 512x512",
+        lambda x, y: soft_dice_pallas(x, y, 1.0, 1.0),
+        lambda x, y: L.soft_dice_loss(x, y, p=1.0, smooth=1.0),
+        (dl, dt_), atol=1e-4, rtol=1e-3)
+
+    # ---- activations: NHWC small-C (relayout-bound flatten path) AND
+    # lane-aligned (direct block mapping) — same element count
+    ax_nhwc = jnp.asarray(rng.normal(size=(6, 512, 512, 16)) * 4,
+                          jnp.float32)
+    ax_lane = jnp.asarray(rng.normal(size=(12288, 2048)) * 4, jnp.float32)
+    for op, oracle, name in ((mish_pallas, L.mish, "mish"),
+                             (swish_pallas, L.swish, "swish"),
+                             (hswish_pallas, L.hswish, "hswish")):
+        # 1e-3: TPU transcendental (tanh/exp) rounding differs between
+        # the Mosaic kernel and the XLA oracle at ~5e-4 worst-case
+        bench_pair(name + "/nhwc16", "6x512x512x16", op, oracle,
+                   (ax_nhwc,), atol=1e-3, rtol=1e-3)
+        bench_pair(name + "/lane", "12288x2048", op, oracle,
+                   (ax_lane,), atol=1e-3, rtol=1e-3)
+
+    # ---- smooth one-hot (fwd only, int -> float)
+    oh_labels = jnp.asarray(rng.integers(0, 8, size=(6, 512 * 512)), jnp.int32)
+    print("[one_hot] parity ...", flush=True)
+    ours = np.asarray(jax.jit(
+        lambda l: smooth_one_hot_pallas(l, 8, 0.1, 255))(oh_labels))
+    ref = np.asarray(jax.jit(
+        lambda l: L.smooth_one_hot(l, 8, 0.1, 255))(oh_labels))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+    t_pal = _time_scalar_loop(
+        lambda l: jnp.sum(smooth_one_hot_pallas(l, 8, 0.1, 255)), (oh_labels,))
+    t_xla = _time_scalar_loop(
+        lambda l: jnp.sum(L.smooth_one_hot(l, 8, 0.1, 255)), (oh_labels,))
+    rows.append(dict(kernel="one_hot", shape="6x262144 C8",
+                     max_err_fwd=float(np.max(np.abs(ours - ref))),
+                     max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal * 1e3, xla_fwd_ms=t_xla * 1e3,
+                     fwd_speedup=t_xla / t_pal))
+    print(f"[one_hot] ok: {t_pal*1e3:.3f}ms vs xla {t_xla*1e3:.3f}ms",
+          flush=True)
+
+    # ---- XLA-sort-based losses: measure (VERDICT r1 weak #4), no Pallas
+    lov_logits = jnp.asarray(rng.normal(size=(6, 128, 128, 2)), jnp.float32)
+    lov_labels = jnp.asarray(rng.integers(0, 2, size=(6, 128, 128)), jnp.int32)
+    t_lov = _time_scalar_loop(
+        lambda x: jnp.sum(L.lovasz_softmax(x, lov_labels)), (lov_logits,),
+        k=10)
+    lm_logits = jnp.asarray(rng.normal(size=(6, 128, 128, 8)), jnp.float32)
+    lm_labels = jnp.asarray(rng.integers(0, 8, size=(6, 128, 128)), jnp.int32)
+    t_lm = _time_scalar_loop(
+        lambda x: jnp.sum(L.large_margin_softmax(x, lm_labels)), (lm_logits,),
+        k=10)
+    sort_rows = [
+        dict(kernel="lovasz_softmax(xla sort)", shape="B6 128x128 C2",
+             xla_fwd_ms=t_lov * 1e3),
+        dict(kernel="large_margin(xla logsumexp)", shape="B6 128x128 C8",
+             xla_fwd_ms=t_lm * 1e3),
+    ]
+
+    # ---- 1-step train + infer smoke on chip
+    print("[smoke] 1-step train+infer ...", flush=True)
+    from cartseg_tpu.models import build_model, init_model, param_groups
+    from cartseg_tpu.losses import bce_dice_loss
+    from cartseg_tpu.train.optim import (init_adamw, group_id_tree,
+                                         adamw_update)
+    model = build_model("efficientnet-b0", dtype=jnp.bfloat16)
+    variables = init_model(model, jax.random.key(0), (1, 224, 224, 3))
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = init_adamw(params)
+    gids = group_id_tree(param_groups(params))
+
+    @jax.jit
+    def step(p, s, o, x, y):
+        def loss_fn(pp):
+            out, upd = model.apply({"params": pp, "batch_stats": s}, x,
+                                   train=True, mutable=["batch_stats"])
+            return bce_dice_loss(out, y), upd["batch_stats"]
+        (loss, ns), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+        np_, no = adamw_update(p, g, o, gids,
+                               jnp.asarray([1e-4] * 3), jnp.ones(3), 1e-4)
+        return np_, ns, no, loss
+
+    x = jnp.asarray(rng.random((8, 224, 224, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((8, 224, 224, 1)) > 0.5), jnp.float32)
+    _, _, _, loss = step(params, stats, opt, x, y)
+    train_loss = float(loss)
+    assert np.isfinite(train_loss)
+
+    @jax.jit
+    def infer(p, s, x):
+        return jax.nn.sigmoid(model.apply(
+            {"params": p, "batch_stats": s}, x, train=False))
+    pr = infer(params, stats, x)
+    assert np.isfinite(float(jnp.mean(pr)))
+    print(f"[smoke] ok, loss={train_loss:.4f}", flush=True)
+
+    # ---- report
+    report = dict(date=str(date.today()), device=str(dev),
+                  backend=backend, k_iters=K_ITERS,
+                  kernels=rows, xla_only=sort_rows,
+                  train_smoke_loss=train_loss)
+    out_json = REPO / "docs" / "chip_parity.json"
+    out_json.write_text(json.dumps(report, indent=1))
+
+    lines = [
+        "# On-chip Pallas parity + kernel micro-benchmarks",
+        "",
+        f"Generated by `tools/run_chip_parity.py` on {report['date']}, "
+        f"device `{dev}`. Every Pallas kernel compiled to Mosaic on the "
+        "real chip; parity asserted fwd+grad vs its Tier-A XLA oracle; "
+        f"timings are per-iteration over a {K_ITERS}-step serially-"
+        "dependent fori_loop with a single scalar readback (CLAUDE.md "
+        "timing discipline).",
+        "",
+        "| kernel | shape | max err fwd | max err grad | pallas fwd ms | "
+        "xla fwd ms | fwd speedup | pallas f+b ms | xla f+b ms | f+b "
+        "speedup |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            "| {kernel} | {shape} | {max_err_fwd:.2e} | {max_err_grad:.2e} "
+            "| {pallas_fwd_ms:.3f} | {xla_fwd_ms:.3f} | {fwd_speedup:.2f}x "
+            "| {pfb} | {xfb} | {sfb} |".format(
+                pfb=f"{r['pallas_fwdbwd_ms']:.3f}"
+                if "pallas_fwdbwd_ms" in r else "—",
+                xfb=f"{r['xla_fwdbwd_ms']:.3f}"
+                if "xla_fwdbwd_ms" in r else "—",
+                sfb=f"{r['fwdbwd_speedup']:.2f}x"
+                if "fwdbwd_speedup" in r else "—", **r))
+    lines += [
+        "",
+        "XLA-only losses (sort/logsumexp based — measured, per VERDICT r1):",
+        "",
+        "| loss | shape | xla fwd ms |",
+        "|---|---|---|",
+    ]
+    for r in sort_rows:
+        lines.append("| {kernel} | {shape} | {xla_fwd_ms:.3f} |".format(**r))
+    lines += ["", f"1-step train smoke (effnet-b0 UNet, bs8@224²): "
+              f"loss={train_loss:.4f}; inference smoke: finite probs.", ""]
+    (REPO / "docs" / "CHIP_PARITY.md").write_text("\n".join(lines))
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,7 +12,8 @@ from cartseg_tpu.data.sampling import (
     curriculum_weight,
 )
 from cartseg_tpu.data.dataset import SegmentationDataset, make_synthetic_tree
-from cartseg_tpu.data.augment import AugmentConfig, augment_batch, normalize_batch
+from cartseg_tpu.data.augment import (AugmentConfig, augment_batch,
+                                      normalize_batch, draw_warp_params)
 from cartseg_tpu.data.pipeline import Loader
 
 __all__ = [
@@ -22,5 +23,6 @@ __all__ = [
     "curriculum_weight",
     "SegmentationDataset", "make_synthetic_tree",
     "AugmentConfig", "augment_batch", "normalize_batch",
+    "draw_warp_params",
     "Loader",
 ]

@@ -223,6 +223,41 @@ def _u(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, minval=lo, maxval=hi)
 
 
+def draw_warp_params(k, cfg: AugmentConfig, shape, H, W):
+    """Draw the composed affine parameters (angle deg, scale, ty, tx)
+    with albumentations-matching marginals: Rotate(p, limit) U-mixture,
+    zoom 1+U(-s,s) w.p. p, ShiftScaleRotate triple. shape=() draws one
+    batch-shared set; shape=(B,) one per sample (the exact albu joint).
+    Exposed separately so the distribution audit (tests/test_augment
+    KS tests) can sample it directly."""
+    angle = jnp.zeros(shape, jnp.float32)
+    scale = jnp.ones(shape, jnp.float32)
+    ty = jnp.zeros(shape, jnp.float32)
+    tx = jnp.zeros(shape, jnp.float32)
+    if cfg.rotate_p > 0:
+        kr = jax.random.split(k["rot"], 2)
+        do = _u(kr[0], 0, 1, shape) < cfg.rotate_p
+        angle += jnp.where(do, _u(kr[1], -cfg.rotate_limit,
+                                  cfg.rotate_limit, shape), 0.0)
+    if cfg.scale_p > 0 and cfg.scale_mode == "zoom":
+        kz = jax.random.split(k["zoom"], 2)
+        do = _u(kz[0], 0, 1, shape) < cfg.scale_p
+        scale *= jnp.where(do, 1.0 + _u(kz[1], -cfg.scale_limit,
+                                        cfg.scale_limit, shape), 1.0)
+    if cfg.shift_scale_rotate_p > 0:
+        ks = jax.random.split(k["ssr"], 5)
+        do = _u(ks[0], 0, 1, shape) < cfg.shift_scale_rotate_p
+        angle += jnp.where(do, _u(ks[1], -cfg.ssr_rotate_limit,
+                                  cfg.ssr_rotate_limit, shape), 0.0)
+        scale *= jnp.where(do, 1.0 + _u(ks[2], -cfg.ssr_scale_limit,
+                                        cfg.ssr_scale_limit, shape), 1.0)
+        ty += jnp.where(do, _u(ks[3], -cfg.ssr_shift_limit,
+                               cfg.ssr_shift_limit, shape) * H, 0.0)
+        tx += jnp.where(do, _u(ks[4], -cfg.ssr_shift_limit,
+                               cfg.ssr_shift_limit, shape) * W, 0.0)
+    return angle, scale, ty, tx
+
+
 def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     """[B,H,W,3] uint8 + [B,H,W,1] float -> (normalized float images,
     masks), all on device, one fused program."""
@@ -243,31 +278,7 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     # default; per_sample_warp draws one parameter set per sample)
     if cfg.any_warp:
         shape = (B,) if cfg.per_sample_warp else ()
-        angle = jnp.zeros(shape, jnp.float32)
-        scale = jnp.ones(shape, jnp.float32)
-        ty = jnp.zeros(shape, jnp.float32)
-        tx = jnp.zeros(shape, jnp.float32)
-        if cfg.rotate_p > 0:
-            kr = jax.random.split(k["rot"], 2)
-            do = _u(kr[0], 0, 1, shape) < cfg.rotate_p
-            angle += jnp.where(do, _u(kr[1], -cfg.rotate_limit,
-                                      cfg.rotate_limit, shape), 0.0)
-        if cfg.scale_p > 0 and cfg.scale_mode == "zoom":
-            kz = jax.random.split(k["zoom"], 2)
-            do = _u(kz[0], 0, 1, shape) < cfg.scale_p
-            scale *= jnp.where(do, 1.0 + _u(kz[1], -cfg.scale_limit,
-                                            cfg.scale_limit, shape), 1.0)
-        if cfg.shift_scale_rotate_p > 0:
-            ks = jax.random.split(k["ssr"], 5)
-            do = _u(ks[0], 0, 1, shape) < cfg.shift_scale_rotate_p
-            angle += jnp.where(do, _u(ks[1], -cfg.ssr_rotate_limit,
-                                      cfg.ssr_rotate_limit, shape), 0.0)
-            scale *= jnp.where(do, 1.0 + _u(ks[2], -cfg.ssr_scale_limit,
-                                            cfg.ssr_scale_limit, shape), 1.0)
-            ty += jnp.where(do, _u(ks[3], -cfg.ssr_shift_limit,
-                                   cfg.ssr_shift_limit, shape) * H, 0.0)
-            tx += jnp.where(do, _u(ks[4], -cfg.ssr_shift_limit,
-                                   cfg.ssr_shift_limit, shape) * W, 0.0)
+        angle, scale, ty, tx = draw_warp_params(k, cfg, shape, H, W)
         if cfg.per_sample_warp:
             img, masks = _per_sample_affine_warp(img, masks, angle, scale,
                                                  ty, tx)

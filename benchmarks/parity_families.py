@@ -165,12 +165,12 @@ def torch_train(model, loss_fn, train_ds, val_ds, epochs, lr, batch,
 def jax_train(out_dir, init_pth, encoder, loss_spec, epochs, lr, batch,
               img, imagenet=False, freeze_epochs=0, unfreeze_scale=1.0,
               enc_scale=1.0, head_scale=1.0, images_root=None,
-              masks_root=None, image_roots=None, log=print):
+              masks_root=None, image_roots=None, log=print, seed=42):
     from cartseg_tpu.train import TrainConfig, Trainer
 
     cfg = TrainConfig(
         encoder=encoder, img_size=(img, img), batch_size=batch,
-        epochs=epochs, lr=lr, patience=epochs + 1, seed=42,
+        epochs=epochs, lr=lr, patience=epochs + 1, seed=seed,
         loss=loss_spec, augment="none", imagenet_norm=imagenet,
         init_torch_checkpoint=str(init_pth),
         freeze_encoder_epochs=freeze_epochs,
@@ -218,33 +218,36 @@ def _family_spec(name, img):
     raise ValueError(name)
 
 
-def run_family(name, datasets, out, epochs, lr, batch, img, log=print):
+def run_family(name, datasets, out, epochs, lr, batch, img, log=print,
+               seed=42):
     train_ds, val_ds, ir, mr = datasets
     encoder, tloss, jspec, kw = _family_spec(name, img)
-    torch.manual_seed(1234)
+    torch.manual_seed(1234 + seed)
     model = SmpUnetTorch(encoder)
-    init_pth = out / f"{name}_init.pth"
+    init_pth = out / f"{name}_s{seed}_init.pth"
     torch.save({"model_state_dict": model.state_dict()}, init_pth)
 
-    log(f"[{name}] torch side:")
+    log(f"[{name}] torch side (seed {seed}):")
     d_torch, _ = torch_train(
-        model, tloss, train_ds, val_ds, epochs, lr, batch,
+        model, tloss, train_ds, val_ds, epochs, lr, batch, seed=seed,
         imagenet=kw.get("imagenet", False),
         freeze_epochs=kw.get("freeze_epochs", 0),
         unfreeze_scale=kw.get("unfreeze_scale", 1.0),
         enc_scale=kw.get("enc_scale", 1.0),
         head_scale=kw.get("head_scale", 1.0), log=log)
-    log(f"[{name}] jax side:")
+    log(f"[{name}] jax side (seed {seed}):")
     d_jax, _ = jax_train(
-        out / f"{name}_jax", init_pth, encoder, jspec, epochs, lr, batch,
-        img, imagenet=kw.get("imagenet", False),
+        out / f"{name}_s{seed}_jax", init_pth, encoder, jspec, epochs,
+        lr, batch, img, seed=seed,
+        imagenet=kw.get("imagenet", False),
         freeze_epochs=kw.get("freeze_epochs", 0),
         unfreeze_scale=kw.get("unfreeze_scale", 1.0),
         enc_scale=kw.get("enc_scale", 1.0),
         head_scale=kw.get("head_scale", 1.0),
         images_root=str(ir), masks_root=str(mr), log=log)
     delta = (d_jax - d_torch) * 100
-    return {"family": name, "torch_best_val_dice": round(d_torch, 4),
+    return {"family": name, "seed": seed,
+            "torch_best_val_dice": round(d_torch, 4),
             "jax_best_val_dice": round(float(d_jax), 4),
             "delta_points": round(delta, 2),
             "pass": bool(abs(delta) <= 0.5 or d_jax >= d_torch)}
@@ -429,6 +432,10 @@ def main(argv=None):
     ap.add_argument("--img", type=int, default=64)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--sessions", type=int, default=5)
+    ap.add_argument("--per-session", type=int, default=16)
+    ap.add_argument("--seeds", default="42",
+                    help="comma list; each family runs once per seed")
     ap.add_argument("--out", default="/tmp/parity_families")
     args = ap.parse_args(argv)
 
@@ -437,8 +444,10 @@ def main(argv=None):
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
-    ir, mr = make_synthetic_tree(out / "synthetic", n_sessions=5,
-                                 per_session=16, hw=(96, 128), seed=42)
+    ir, mr = make_synthetic_tree(out / "synthetic",
+                                 n_sessions=args.sessions,
+                                 per_session=args.per_session,
+                                 hw=(96, 128), seed=42)
     pairs = gather_pairs(ir, mr)
     tr, va = session_split(pairs, 0.2)
     size = (args.img, args.img)
@@ -446,20 +455,22 @@ def main(argv=None):
                 SegmentationDataset([pairs[i] for i in va], size), ir, mr)
 
     results = []
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
     for fam in args.families.split(","):
         fam = fam.strip()
         if not fam:
             continue
-        if fam == "pseudo_loop":
-            r = run_pseudo_loop(out / fam, args.epochs, args.lr,
-                                args.batch, args.img)
-        else:
-            r = run_family(fam, datasets, out, args.epochs, args.lr,
-                           args.batch, args.img)
-        print(json.dumps(r))
-        results.append(r)
-        (out / "parity_families.json").write_text(
-            json.dumps(results, indent=1))
+        for seed in seeds:
+            if fam == "pseudo_loop":
+                r = run_pseudo_loop(out / fam, args.epochs, args.lr,
+                                    args.batch, args.img)
+            else:
+                r = run_family(fam, datasets, out, args.epochs, args.lr,
+                               args.batch, args.img, seed=seed)
+            print(json.dumps(r))
+            results.append(r)
+            (out / "parity_families.json").write_text(
+                json.dumps(results, indent=1))
     return results
 
 

@@ -33,7 +33,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cartseg_tpu.ops.edt import edt
+from cartseg_tpu.ops.edt import edt_batch
 from cartseg_tpu.losses.label_smooth import lsr_cross_entropy
 from cartseg_tpu.losses.region import bce_dice_loss
 
@@ -105,10 +105,9 @@ def gt_dist_maps(gt_boundary):
     """[B,H,W] bool -> [B,H,W] float distance-to-boundary map:
     max(0, EDT(boundary) - 1); zero when a sample has no boundary
     (one_hot2dist posmask.any() guard, abl.py:17-24)."""
-    def one(b):
-        d = jnp.maximum(edt(b) - 1.0, 0.0)
-        return jnp.where(jnp.any(b), d, 0.0)
-    return jax.vmap(one)(gt_boundary)
+    d = jnp.maximum(edt_batch(gt_boundary) - 1.0, 0.0)
+    has = jnp.any(gt_boundary, axis=(1, 2))[:, None, None]
+    return jnp.where(has, d, 0.0)
 
 
 def _pad_replicate(x):

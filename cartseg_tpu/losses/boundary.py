@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from cartseg_tpu.ops.edt import edt
+from cartseg_tpu.ops.edt import edt, edt_batch
 from cartseg_tpu.losses.region import bce_dice_loss
 
 
@@ -29,9 +29,16 @@ def signed_distance_map(mask):
 
 def batch_sdf(masks):
     """[B,H,W,1] {0,1} -> [B,H,W,1] SDF normalized by max(H,W)
-    (train_with_boundary_loss.py:204-217)."""
+    (train_with_boundary_loss.py:204-217). Both EDTs go through
+    edt_batch (the VMEM-resident Pallas flood on TPU)."""
     B, H, W, C = masks.shape
-    sdf = jax.vmap(signed_distance_map)(masks[..., 0] > 0.5)
+    m = masks[..., 0] > 0.5
+    dist_out = jnp.where(m, 0.0, edt_batch(m))
+    dist_in = jnp.where(m, edt_batch(~m), 0.0)
+    sdf = dist_out - dist_in
+    ok = (jnp.any(m, axis=(1, 2))
+          & jnp.any(~m, axis=(1, 2)))[:, None, None]
+    sdf = jnp.where(ok, sdf, 0.0).astype(jnp.float32)
     return (sdf / max(H, W))[..., None]
 
 

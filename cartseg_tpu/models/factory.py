@@ -11,7 +11,8 @@ replacing build_param_groups_for_smp (src/finetune_for_224.py:250-262).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+import os
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,16 @@ from cartseg_tpu.models.classic_unet import ClassicUNet
 
 def build_model(encoder_name: str = "resnet34", classes: int = 1,
                 dtype: jnp.dtype = jnp.float32,
-                decoder: str = "unet") -> nn.Module:
+                decoder: str = "unet",
+                fused_decoder: Optional[bool] = None) -> nn.Module:
+    """fused_decoder selects the transposed-conv decoder lane (same
+    params, same math — models/unet.py:FusedUpsampleConv); default
+    comes from CARTSEG_FUSED_DECODER (on unless set to '0': measured
+    1.12-1.40x faster full train step at every benchmarked shape,
+    docs/decoder_bench.json + docs/BENCHMARKS.md)."""
+    if fused_decoder is None:
+        fused_decoder = os.environ.get(
+            "CARTSEG_FUSED_DECODER", "1") != "0"
     if encoder_name == "resnet34":
         enc = ResNetEncoder(stage_sizes=(3, 4, 6, 3), dtype=dtype,
                             name="encoder")
@@ -38,10 +48,12 @@ def build_model(encoder_name: str = "resnet34", classes: int = 1,
         return ClassicUNet(out_channels=classes, dtype=dtype)
     else:
         raise ValueError(f"unknown encoder {encoder_name!r}")
-    if decoder == "unetpp":
+    if decoder in ("unetpp", "unetpp_ds"):
         from cartseg_tpu.models.unetpp import UNetPlusPlus
-        return UNetPlusPlus(encoder=enc, classes=classes, dtype=dtype)
-    return UNet(encoder=enc, classes=classes, dtype=dtype)
+        return UNetPlusPlus(encoder=enc, classes=classes, dtype=dtype,
+                            deep_supervision=(decoder == "unetpp_ds"))
+    return UNet(encoder=enc, classes=classes, dtype=dtype,
+                fused_decoder=fused_decoder)
 
 
 def init_model(model: nn.Module, rng: jax.Array,
@@ -63,7 +75,7 @@ def param_groups(params) -> Any:
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
         if top == "encoder":
             return "encoder"
-        if top == "segmentation_head":
+        if top == "segmentation_head" or top.startswith("aux_head"):
             return "head"
         return "decoder"
 

@@ -19,33 +19,96 @@ import jax.numpy as jnp
 
 
 def _upsample2x(x):
-    """Nearest-neighbor 2x upsample (smp decoder's interpolate)."""
+    """Nearest-neighbor 2x upsample (smp decoder's interpolate) as one
+    broadcast+reshape (a single fused relayout, vs two materializing
+    `jnp.repeat` passes)."""
     B, H, W, C = x.shape
-    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return jnp.broadcast_to(x[:, :, None, :, None, :],
+                            (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
+
+
+# Row map for the up2+conv3 fusion: output row parity selects which
+# 2 of these 4 taps are live; M[r, u] says how kernel row u contributes
+# to transposed-kernel row r (derivation in FusedUpsampleConv).
+_UPCONV_M = ((1, 0, 0), (1, 1, 0), (0, 1, 1), (0, 0, 1))
+
+
+class FusedUpsampleConv(nn.Module):
+    """`conv3x3(concat([up2(x), skip]))` without materializing either
+    the 4x-size upsampled buffer or the concat — the decoder's two
+    HBM-bandwidth hazards at 224²/512² (they dominate decoder time; see
+    docs/step_profile.json).
+
+    Identity used: for nearest-2x upsample U[m,n] = x[m//2, n//2] and a
+    zero-padded 3x3 conv, out[2i+di] only sees x rows {i-1+di, i+di}
+    with weights (row axis shown) W0 / W1+W2 for di=0 and W0+W1 / W2
+    for di=1 — i.e. a stride-2 TRANSPOSED conv with the 4x4 kernel
+    K[r,s] = sum_{u,v} M[r,u] M[s,v] W[u,v] (M above), which is exact
+    (incl. zero borders) and does 4 MACs/output instead of 9 on a 4x
+    bigger input. The skip half of the concat becomes its own 3x3 conv
+    on the skip tensor, summed — bitwise the same math as slicing the
+    kernel of the concat conv.
+
+    The single `kernel` param has the SAME name/shape as the nn.Conv it
+    replaces ((3,3,C_up+C_skip,features), name 'conv1' in DecoderBlock),
+    so checkpoints and the torch importer are unaffected.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        cu = x.shape[-1]
+        cs = 0 if skip is None else skip.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, cu + cs, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        m = jnp.asarray(_UPCONV_M, self.dtype)
+        k4 = jnp.einsum("ru,sv,uvio->rsio", m, m, k[:, :, :cu])
+        dn = ("NHWC", "HWIO", "NHWC")
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k4, window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=dn)
+        if skip is not None:
+            y = y + jax.lax.conv_general_dilated(
+                skip.astype(self.dtype), k[:, :, cu:],
+                window_strides=(1, 1), padding=((1, 1), (1, 1)),
+                dimension_numbers=dn)
+        return y
 
 
 class DecoderBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
-        x = _upsample2x(x)
-        if skip is not None:
-            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-        for i in (1, 2):
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
+        if self.fused:
+            x = FusedUpsampleConv(self.features, self.dtype,
+                                  name="conv1")(x, skip)
+        else:
+            x = _upsample2x(x)
+            if skip is not None:
+                x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name=f"bn{i}")(x)
-            x = nn.relu(x)
-        return x
+                        dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(norm("bn1")(x))
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        return nn.relu(norm("bn2")(x))
 
 
 class UNetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
@@ -55,7 +118,8 @@ class UNetDecoder(nn.Module):
         x = head
         for i, ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(ch, self.dtype, name=f"block{i}")(x, skip, train)
+            x = DecoderBlock(ch, self.dtype, self.fused,
+                             name=f"block{i}")(x, skip, train)
         return x
 
 
@@ -77,11 +141,12 @@ class UNet(nn.Module):
     classes: int = 1
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: jnp.dtype = jnp.float32
+    fused_decoder: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.encoder(x.astype(self.dtype), train=train)
         y = UNetDecoder(self.decoder_channels, self.dtype,
-                        name="decoder")(feats, train)
+                        self.fused_decoder, name="decoder")(feats, train)
         return SegmentationHead(self.classes, self.dtype,
                                 name="segmentation_head")(y)

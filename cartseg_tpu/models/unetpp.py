@@ -40,7 +40,8 @@ class UNetPlusPlusDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False,
+                 collect_nodes: bool = False):
         L = len(feats)  # 5 levels, strides 2..32
         grid = {(i, 0): feats[i] for i in range(L)}
         for j in range(1, L):
@@ -55,19 +56,39 @@ class UNetPlusPlusDecoder(nn.Module):
                     name=f"x_{i}_{j}")(x, train)
         # bring the top node (stride 2) to full resolution
         y = _upsample2x(grid[(0, L - 1)])
-        return ConvBlock(self.channels[0], self.dtype,
-                         name="final")(y, train)
+        y = ConvBlock(self.channels[0], self.dtype,
+                      name="final")(y, train)
+        if collect_nodes:
+            # the intermediate top-row nodes X[0][1..L-2] (stride 2),
+            # for deep supervision heads
+            return y, [grid[(0, j)] for j in range(1, L - 1)]
+        return y
 
 
 class UNetPlusPlus(nn.Module):
+    """deep_supervision=True averages a segmentation head over every
+    top-row node X[0][j] (upsampled to input res) with the final head —
+    the UNet++ paper's 'accurate mode' ensemble (arXiv:1912.05074 §2)."""
+
     encoder: nn.Module
     classes: int = 1
     dtype: jnp.dtype = jnp.float32
+    deep_supervision: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.encoder(x.astype(self.dtype), train=train)
-        y = UNetPlusPlusDecoder(dtype=self.dtype,
-                                name="decoder")(feats, train)
-        return SegmentationHead(self.classes, self.dtype,
-                                name="segmentation_head")(y)
+        dec = UNetPlusPlusDecoder(dtype=self.dtype, name="decoder")
+        if not self.deep_supervision:
+            y = dec(feats, train)
+            return SegmentationHead(self.classes, self.dtype,
+                                    name="segmentation_head")(y)
+        y, nodes = dec(feats, train, collect_nodes=True)
+        logits = SegmentationHead(self.classes, self.dtype,
+                                  name="segmentation_head")(y)
+        for j, node in enumerate(nodes):
+            aux = SegmentationHead(self.classes, self.dtype,
+                                   name=f"aux_head_{j + 1}")(
+                _upsample2x(node))
+            logits = logits + aux
+        return logits / (1.0 + len(nodes))

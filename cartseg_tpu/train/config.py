@@ -36,7 +36,7 @@ class SourceSpec:
 class TrainConfig:
     # --- model (train_bce_dice.py:293-301 defaults)
     encoder: str = "resnet34"
-    decoder: str = "unet"  # unet | unetpp (extension, PAPERS.md UNet++)
+    decoder: str = "unet"  # unet | unetpp | unetpp_ds (deep supervision)
     classes: int = 1
     compute_dtype: str = "bfloat16"   # AMP analog; fp32 params
     remat: bool = False   # jax.checkpoint the forward (512^2 big-batch

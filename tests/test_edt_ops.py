@@ -193,3 +193,33 @@ def test_sobel_edges_on_step():
     e = np.asarray(sobel_edges(jnp.asarray(img)))
     assert e[:, 15:17].any()
     assert not e[:, :10].any()
+
+
+# ------------------------------------------------- Pallas VMEM flood
+
+def test_edt_batch_pallas_matches_xla_lane():
+    """The VMEM-resident Pallas flood (interpret mode here; compiled in
+    tools/run_chip_parity.py) must agree with the vmapped XLA JFA on
+    every pixel, including a no-seed sample (sentinel sqrt(1e12))."""
+    import jax
+
+    from cartseg_tpu.ops.pallas.edt import edt_batch_pallas
+
+    rng = np.random.default_rng(0)
+    seeds = rng.random((3, 48, 64)) > 0.97
+    seeds[2] = False  # no-seed sample -> sentinel
+    ours = np.asarray(edt_batch_pallas(jnp.asarray(seeds)))
+    ref = np.asarray(jax.vmap(edt)(jnp.asarray(seeds)))
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_edt_batch_dispatch_cpu_lane():
+    """Off-TPU, edt_batch routes to the XLA lane and matches scipy."""
+    from cartseg_tpu.ops.edt import edt_batch
+
+    rng = np.random.default_rng(1)
+    seeds = rng.random((2, 40, 56)) > 0.95
+    out = np.asarray(edt_batch(jnp.asarray(seeds)))
+    for b in range(2):
+        ref = ndimage.distance_transform_edt(~seeds[b])
+        assert np.abs(out[b] - ref).max() < 0.51  # 1+JFA near-exactness

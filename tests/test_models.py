@@ -186,3 +186,62 @@ def test_unetpp_forward_shapes():
     labels = param_groups(variables["params"])
     assert set(jax.tree_util.tree_leaves(labels)) == {"encoder", "decoder",
                                                       "head"}
+
+
+# ------------------------------------------------- fused decoder lane
+
+def test_fused_decoder_equivalence():
+    """The transposed-conv decoder (FusedUpsampleConv: up2+conv3x3 ==
+    stride-2 transposed 4x4 conv; concat conv == split conv sum) is
+    EXACT math over the same params — outputs and grads must match the
+    plain lane, and the param pytrees must be identical."""
+    plain = build_model("resnet18", fused_decoder=False)
+    fused = build_model("resnet18", fused_decoder=True)
+    variables = init_model(plain, jax.random.key(0), (1, 64, 64, 3))
+    # identical param structure: fused init == plain init shapes
+    vf = init_model(fused, jax.random.key(0), (1, 64, 64, 3))
+    assert (jax.tree_util.tree_structure(vf["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 3)),
+                    jnp.float32)
+    y = jnp.asarray((np.random.default_rng(1).random((2, 64, 64, 1)) > 0.5),
+                    jnp.float32)
+    o_plain = plain.apply(variables, x, train=False)
+    o_fused = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(o_plain), np.asarray(o_fused),
+                               atol=2e-4)
+
+    def loss(model, p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.mean((jax.nn.sigmoid(out) - y) ** 2)
+
+    g_plain = jax.grad(lambda p: loss(plain, p))(variables["params"])
+    g_fused = jax.grad(lambda p: loss(fused, p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-3)
+
+
+def test_fused_decoder_odd_tail_shapes():
+    """512-style pyramids (16->32...) and 96-style (3->6) both hit the
+    exact-2x upsample contract."""
+    fused = build_model("resnet18", fused_decoder=True)
+    variables = init_model(fused, jax.random.key(0), (1, 96, 96, 3))
+    out = fused.apply(variables, jnp.zeros((1, 96, 96, 3)), train=False)
+    assert out.shape == (1, 96, 96, 1)
+
+
+def test_unetpp_deep_supervision():
+    """unetpp_ds: aux heads over X[0][j] averaged with the final head
+    (UNet++ 'accurate mode'); aux params label as 'head'."""
+    model = build_model("resnet18", decoder="unetpp_ds")
+    variables = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    assert any(k.startswith("aux_head") for k in variables["params"])
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 64, 64, 1)
+    labels = param_groups(variables["params"])
+    assert labels["aux_head_1"]["conv"]["kernel"] == "head"

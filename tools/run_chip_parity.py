@@ -189,6 +189,29 @@ def main():
     print(f"[one_hot] ok: {t_pal*1e3:.3f}ms vs xla {t_xla*1e3:.3f}ms",
           flush=True)
 
+    # ---- VMEM-resident EDT flood vs the XLA JFA (fwd-only: every call
+    # site feeds label-derived/stop_gradient masks)
+    from cartseg_tpu.ops.edt import edt as edt_xla
+    from cartseg_tpu.ops.pallas.edt import edt_batch_pallas
+    edt_seeds = jnp.asarray(
+        (rng.random((6, 512, 512)) > 0.999), jnp.float32)
+    print("[edt] parity ...", flush=True)
+    ours = np.asarray(jax.jit(edt_batch_pallas)(edt_seeds))
+    ref = np.asarray(jax.jit(
+        lambda s: jax.vmap(edt_xla)(s > 0.5))(edt_seeds))
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+    t_pal = _time_scalar_loop(
+        lambda s: jnp.sum(edt_batch_pallas(s)), (edt_seeds,), k=10)
+    t_xla_edt = _time_scalar_loop(
+        lambda s: jnp.sum(jax.vmap(edt_xla)(s > 0.5)), (edt_seeds,), k=10)
+    rows.append(dict(kernel="edt(vmem flood)", shape="B6 512x512",
+                     max_err_fwd=float(np.max(np.abs(ours - ref))),
+                     max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal * 1e3, xla_fwd_ms=t_xla_edt * 1e3,
+                     fwd_speedup=t_xla_edt / t_pal))
+    print(f"[edt] ok: {t_pal*1e3:.3f}ms vs xla {t_xla_edt*1e3:.3f}ms",
+          flush=True)
+
     # ---- XLA-sort-based losses: measure (VERDICT r1 weak #4), no Pallas
     lov_logits = jnp.asarray(rng.normal(size=(6, 128, 128, 2)), jnp.float32)
     lov_labels = jnp.asarray(rng.integers(0, 2, size=(6, 128, 128)), jnp.int32)

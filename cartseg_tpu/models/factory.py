@@ -51,7 +51,8 @@ def build_model(encoder_name: str = "resnet34", classes: int = 1,
     if decoder in ("unetpp", "unetpp_ds"):
         from cartseg_tpu.models.unetpp import UNetPlusPlus
         return UNetPlusPlus(encoder=enc, classes=classes, dtype=dtype,
-                            deep_supervision=(decoder == "unetpp_ds"))
+                            deep_supervision=(decoder == "unetpp_ds"),
+                            fused=fused_decoder)
     return UNet(encoder=enc, classes=classes, dtype=dtype,
                 fused_decoder=fused_decoder)
 

@@ -52,10 +52,15 @@ class FusedUpsampleConv(nn.Module):
     The single `kernel` param has the SAME name/shape as the nn.Conv it
     replaces ((3,3,C_up+C_skip,features), name 'conv1' in DecoderBlock),
     so checkpoints and the torch importer are unaffected.
+
+    skip_first selects the concat order the kernel's input-channel axis
+    was laid out for: False -> concat([up2(x), skip]) (UNet decoder),
+    True -> concat([skip, up2(x)]) (UNet++ nodes, unetpp.py).
     """
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    skip_first: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None):
@@ -65,8 +70,12 @@ class FusedUpsampleConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (3, 3, cu + cs, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
+        if self.skip_first:
+            k_skip, k_up = k[:, :, :cs], k[:, :, cs:]
+        else:
+            k_up, k_skip = k[:, :, :cu], k[:, :, cu:]
         m = jnp.asarray(_UPCONV_M, self.dtype)
-        k4 = jnp.einsum("ru,sv,uvio->rsio", m, m, k[:, :, :cu])
+        k4 = jnp.einsum("ru,sv,uvio->rsio", m, m, k_up)
         dn = ("NHWC", "HWIO", "NHWC")
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k4, window_strides=(1, 1),
@@ -74,7 +83,7 @@ class FusedUpsampleConv(nn.Module):
             dimension_numbers=dn)
         if skip is not None:
             y = y + jax.lax.conv_general_dilated(
-                skip.astype(self.dtype), k[:, :, cu:],
+                skip.astype(self.dtype), k_skip,
                 window_strides=(1, 1), padding=((1, 1), (1, 1)),
                 dimension_numbers=dn)
         return y

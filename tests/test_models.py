@@ -235,6 +235,27 @@ def test_fused_decoder_odd_tail_shapes():
     assert out.shape == (1, 96, 96, 1)
 
 
+def test_unetpp_fused_equivalence():
+    """UNet++ fused node lane (FusedUpsampleConv skip_first layout) is
+    exact math over identical params vs the plain up2+concat+conv."""
+    plain = build_model("resnet18", decoder="unetpp", fused_decoder=False)
+    fused = build_model("resnet18", decoder="unetpp", fused_decoder=True)
+    variables = init_model(plain, jax.random.key(0), (1, 64, 64, 3))
+    vf = init_model(fused, jax.random.key(0), (1, 64, 64, 3))
+    assert (jax.tree_util.tree_structure(vf["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+    for a, b in zip(jax.tree_util.tree_leaves(vf["params"]),
+                    jax.tree_util.tree_leaves(variables["params"])):
+        assert a.shape == b.shape
+
+    x = jnp.asarray(np.random.default_rng(2).random((2, 64, 64, 3)),
+                    jnp.float32)
+    o_plain = plain.apply(variables, x, train=False)
+    o_fused = fused.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(o_plain), np.asarray(o_fused),
+                               atol=2e-4)
+
+
 def test_unetpp_deep_supervision():
     """unetpp_ds: aux heads over X[0][j] averaged with the final head
     (UNet++ 'accurate mode'); aux params label as 'head'."""

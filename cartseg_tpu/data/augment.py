@@ -137,10 +137,15 @@ def _per_sample_affine_warp(images, masks, angles, scales, tys, txs):
 def _shared_affine_warp(images, masks, angle_deg, scale, ty, tx):
     """One affine resample shared across the batch.
 
-    images [B,H,W,C] float (bilinear), masks [B,H,W,1] (nearest).
-    Batch*channel is moved to the minor axis so the bilinear taps are
-    4 shared-index slice-gathers instead of B*H*W scattered lookups.
-    reflect-101 border (albumentations Rotate default).
+    images [B,H,W,C] uint8 or float (bilinear), masks [B,H,W,1]
+    (nearest). Batch*channel is moved to the minor axis so the bilinear
+    taps are 4 shared-index slice-gathers instead of B*H*W scattered
+    lookups; the gathers (and the two relayout transposes) run in the
+    INPUT dtype — callers pass uint8 so the 4 taps move 1/4 the bytes —
+    and only the 4 tap values are lifted to f32 for the lerp (exact:
+    u8 is representable in f32; the reference's cv2.warpAffine rounds
+    to uint8 after its lerp, so this is strictly more precise).
+    reflect-101 border (albumentations Rotate default). Returns f32.
     """
     B, H, W, C = images.shape
     th = -angle_deg * jnp.pi / 180.0
@@ -166,7 +171,8 @@ def _shared_affine_warp(images, masks, angle_deg, scale, ty, tx):
     flat_img = jnp.transpose(images, (1, 2, 0, 3)).reshape(H * W, B * C)
 
     def gi(yi, xi):
-        return flat_img[(yi * W + xi).reshape(-1)].reshape(H, W, B * C)
+        taps = flat_img[(yi * W + xi).reshape(-1)].reshape(H, W, B * C)
+        return taps.astype(jnp.float32)
 
     out = (gi(y0, x0) * (1 - wy) * (1 - wx) + gi(y0, x1) * (1 - wy) * wx
            + gi(y1, x0) * wy * (1 - wx) + gi(y1, x1) * wy * wx)
@@ -262,7 +268,10 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     """[B,H,W,3] uint8 + [B,H,W,1] float -> (normalized float images,
     masks), all on device, one fused program."""
     B, H, W, _ = images_u8.shape
-    img = images_u8.astype(jnp.float32)
+    # flip + warp run on the RAW uint8 tensor (4x less HBM traffic in
+    # the warp gathers — docs/augment_bench.json); the warp lifts its
+    # taps to f32 for the lerp, losslessly.
+    img = images_u8
     masks = jnp.asarray(masks, jnp.float32)
     k = {name: jax.random.fold_in(key, i) for i, name in enumerate(
         ["flip", "rot", "zoom", "ssr", "bc", "hsv", "cj", "noise", "blur"])}
@@ -285,6 +294,8 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
         else:
             img, masks = _shared_affine_warp(img, masks, angle, scale,
                                              ty, tx)
+    else:
+        img = img.astype(jnp.float32)
 
     # --- brightness / contrast (per-sample)
     if cfg.brightness_contrast_p > 0:

@@ -336,12 +336,20 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
                           jnp.clip((s[..., None] * st)[..., 0], 0, 1), v)
         img = jnp.where(do, jnp.clip(out * 255.0, 0, 255), img)
 
-    # --- gaussian noise (per-sample variance)
+    # --- gaussian noise (per-sample variance). The full-image normal
+    # draw is the one BIG tensor of random bits in the pipeline
+    # (B*H*W*3 floats); threefry costs ~1.4 ms of shift/xor chains per
+    # step at bs128@224^2 (docs/step_trace.json), so the bits come from
+    # the hardware RngBitGenerator ('rbg') instead — seeded from the
+    # threefry stream, still deterministic per (key, step), same N(0,1)
+    # marginal; tiny per-sample draws stay threefry.
     if cfg.noise_p > 0:
         kn = jax.random.split(k["noise"], 3)
         do = col(_u(kn[0], 0, 1, (B,)) < cfg.noise_p)
         var = col(_u(kn[1], cfg.noise_var[0], cfg.noise_var[1], (B,)))
-        noise = jax.random.normal(kn[2], img.shape) * jnp.sqrt(var)
+        rk = jax.random.wrap_key_data(
+            jax.random.bits(kn[2], (4,), jnp.uint32), impl="rbg")
+        noise = jax.random.normal(rk, img.shape) * jnp.sqrt(var)
         img = jnp.where(do, jnp.clip(img + noise, 0, 255), img)
 
     # --- motion blur: 3-tap line, per-batch direction, per-sample gate

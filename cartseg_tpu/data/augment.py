@@ -204,18 +204,20 @@ def _rgb_to_hsv(rgb):
 
 
 def _hsv_to_rgb(h, s, v):
+    """Sector-free formula: per channel n in {5,3,1},
+    c = v - v*s*clip(min(k, 4-k), 0, 1) with k = (n + 6h) mod 6 —
+    identical output to the classic 6-way select table
+    (colorsys-oracle-tested); measured on-chip at parity with the
+    select version (XLA fuses both into one VPU sweep), kept for the
+    smaller expression."""
     h6 = (h % 1.0) * 6.0
-    i = jnp.floor(h6)
-    f = h6 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    sel = [i == k for k in range(6)]
-    r = jnp.select(sel, [v, q, p, p, t, v])
-    g = jnp.select(sel, [t, v, v, q, p, p])
-    b = jnp.select(sel, [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+    vs = v * s
+
+    def chan(n):
+        kk = (n + h6) % 6.0
+        return v - vs * jnp.clip(jnp.minimum(kk, 4.0 - kk), 0.0, 1.0)
+
+    return jnp.stack([chan(5.0), chan(3.0), chan(1.0)], axis=-1)
 
 
 def normalize_batch(img, mean, std):

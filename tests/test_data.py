@@ -183,6 +183,23 @@ def test_augment_photometric_only_touches_image(rng):
     assert not np.allclose(np.asarray(oi), imgs / 255.0)
 
 
+def test_hsv_roundtrip_colorsys_oracle(rng):
+    """The sector-free _hsv_to_rgb formula must match the stdlib
+    colorsys table conversion exactly (it replaced a 6-way select)."""
+    import colorsys
+
+    from cartseg_tpu.data.augment import _rgb_to_hsv, _hsv_to_rgb
+
+    rgb = rng.random((500, 3)).astype(np.float32)
+    h, s, v = _rgb_to_hsv(jnp.asarray(rgb))
+    back = np.asarray(_hsv_to_rgb(h, s, v))
+    np.testing.assert_allclose(back, rgb, atol=2e-6)
+    ref = np.array([colorsys.hsv_to_rgb(float(a), float(b), float(c))
+                    for a, b, c in zip(np.asarray(h), np.asarray(s),
+                                       np.asarray(v))])
+    np.testing.assert_allclose(back, ref, atol=2e-6)
+
+
 def test_augment_jit_compatible(rng):
     imgs = jnp.asarray(rng.integers(0, 255, (2, 16, 16, 3), np.uint8))
     masks = jnp.asarray((rng.random((2, 16, 16, 1)) > 0.5).astype(np.float32))

@@ -213,6 +213,27 @@ def test_edt_batch_pallas_matches_xla_lane():
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_edt_batch_pallas_under_sharded_pjit():
+    """The multi-chip ABL/boundary path jits the loss (and its EDT)
+    over a data-sharded mesh: the Pallas flood's per-sample grid must
+    survive pjit batch sharding (canary for the TPU DP train step; the
+    escape hatch is CARTSEG_PALLAS_EDT=0 -> XLA lane)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cartseg_tpu.ops.pallas.edt import edt_batch_pallas
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rng = np.random.default_rng(3)
+    seeds = rng.random((16, 48, 64)) > 0.97
+    x = jax.device_put(jnp.asarray(seeds, jnp.float32), sh)
+    out = np.asarray(jax.jit(edt_batch_pallas, in_shardings=sh,
+                             out_shardings=sh)(x))
+    ref = np.asarray(jax.vmap(edt)(jnp.asarray(seeds)))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_edt_batch_dispatch_cpu_lane():
     """Off-TPU, edt_batch routes to the XLA lane and matches scipy."""
     from cartseg_tpu.ops.edt import edt_batch

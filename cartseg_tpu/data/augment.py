@@ -349,8 +349,10 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
         kn = jax.random.split(k["noise"], 3)
         do = col(_u(kn[0], 0, 1, (B,)) < cfg.noise_p)
         var = col(_u(kn[1], cfg.noise_var[0], cfg.noise_var[1], (B,)))
+        kd = jax.random.key_data(kn[2])  # threefry key = 2 x u32
         rk = jax.random.wrap_key_data(
-            jax.random.bits(kn[2], (4,), jnp.uint32), impl="rbg")
+            jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)]),
+            impl="rbg")  # seed from raw key data: no threefry block
         noise = jax.random.normal(rk, img.shape) * jnp.sqrt(var)
         img = jnp.where(do, jnp.clip(img + noise, 0, 255), img)
 

@@ -145,6 +145,8 @@ def main(argv=None):
         if not m:
             return ""
         line = m.group(0)
+        shape = re.match(r"%?[\w.\-]+ = (\S+)", line)
+        shape = (shape.group(1).split("{")[0] if shape else "?")
         # for fusions, pull the computation it calls and list its ops
         cm = re.search(r"calls=([%\w.\-]+)", line)
         if cm:
@@ -160,10 +162,10 @@ def main(argv=None):
                 from collections import Counter
                 common = Counter(o for o in ops
                                  if o not in ("parameter", "constant"))
-                return " ".join(f"{k}x{v}" for k, v in
-                                common.most_common(6))
-        return line.split(" = ")[1][:100]
-    top_individual = sorted(raw.items(), key=lambda kv: -kv[1])[:12]
+                return shape + " | " + " ".join(
+                    f"{k}x{v}" for k, v in common.most_common(6))
+        return line.split(" = ")[1][:110]
+    top_individual = sorted(raw.items(), key=lambda kv: -kv[1])[:20]
     hot = [{"op": op, "ms_per_step": round(us / ns.steps / 1e3, 3),
             "hlo": describe(op)} for op, us in top_individual]
     per_step = {k: round(v / ns.steps / 1e3, 3)

@@ -95,9 +95,13 @@ def ensemble_probs_fn(members: Sequence[EnsembleMember],
         return jax.jit(forward)
 
     def forward_tta(images_u8):
-        p = forward(images_u8)
-        p_flip = forward(images_u8[:, :, ::-1])[:, :, ::-1]
-        return p, p_flip
+        # one ensemble pass at 2B (originals ++ mirrored) instead of two
+        # at B: halves the per-pass overheads and feeds the MXU a bigger
+        # batch; measured faster at bs32@512² (docs/BENCHMARKS.md)
+        B = images_u8.shape[0]
+        both = jnp.concatenate([images_u8, images_u8[:, :, ::-1]], axis=0)
+        p = forward(both)
+        return p[:B], p[B:][:, :, ::-1]
 
     return jax.jit(forward_tta)
 

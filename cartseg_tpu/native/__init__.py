@@ -54,7 +54,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if _SO.exists() else _build()
+        stale = _SO.exists() and any(
+            s.exists() and s.stat().st_mtime > _SO.stat().st_mtime
+            for s in _SOURCES)
+        if _SO.exists() and not stale:
+            so = _SO
+        else:
+            so = _build() or (_SO if _SO.exists() else None)
         if so is None:
             return None
         try:

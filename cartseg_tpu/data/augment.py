@@ -227,8 +227,9 @@ def normalize_batch(img, mean, std):
     return (img / 255.0 - mean) / std
 
 
-def _u(key, lo, hi, shape=()):
-    return jax.random.uniform(key, shape, minval=lo, maxval=hi)
+def _rng(u, lo, hi):
+    """Map a U[0,1) draw onto U[lo,hi)."""
+    return lo + (hi - lo) * u
 
 
 def draw_warp_params(k, cfg: AugmentConfig, shape, H, W):
@@ -237,32 +238,36 @@ def draw_warp_params(k, cfg: AugmentConfig, shape, H, W):
     zoom 1+U(-s,s) w.p. p, ShiftScaleRotate triple. shape=() draws one
     batch-shared set; shape=(B,) one per sample (the exact albu joint).
     Exposed separately so the distribution audit (tests/test_augment
-    KS tests) can sample it directly."""
+    KS tests) can sample it directly.
+
+    All nine underlying uniforms come from ONE `jax.random.uniform`
+    call — each tiny threefry draw is a separate ~launch-bound op on
+    this runtime (the u32 shift/xor chains showed up at several ms per
+    step in docs/step_trace.json), so the pipeline draws its bits in
+    bulk and slices."""
+    u = jax.random.uniform(k["rot"], (9,) + tuple(shape))
     angle = jnp.zeros(shape, jnp.float32)
     scale = jnp.ones(shape, jnp.float32)
     ty = jnp.zeros(shape, jnp.float32)
     tx = jnp.zeros(shape, jnp.float32)
     if cfg.rotate_p > 0:
-        kr = jax.random.split(k["rot"], 2)
-        do = _u(kr[0], 0, 1, shape) < cfg.rotate_p
-        angle += jnp.where(do, _u(kr[1], -cfg.rotate_limit,
-                                  cfg.rotate_limit, shape), 0.0)
+        do = u[0] < cfg.rotate_p
+        angle += jnp.where(do, _rng(u[1], -cfg.rotate_limit,
+                                    cfg.rotate_limit), 0.0)
     if cfg.scale_p > 0 and cfg.scale_mode == "zoom":
-        kz = jax.random.split(k["zoom"], 2)
-        do = _u(kz[0], 0, 1, shape) < cfg.scale_p
-        scale *= jnp.where(do, 1.0 + _u(kz[1], -cfg.scale_limit,
-                                        cfg.scale_limit, shape), 1.0)
+        do = u[2] < cfg.scale_p
+        scale *= jnp.where(do, 1.0 + _rng(u[3], -cfg.scale_limit,
+                                          cfg.scale_limit), 1.0)
     if cfg.shift_scale_rotate_p > 0:
-        ks = jax.random.split(k["ssr"], 5)
-        do = _u(ks[0], 0, 1, shape) < cfg.shift_scale_rotate_p
-        angle += jnp.where(do, _u(ks[1], -cfg.ssr_rotate_limit,
-                                  cfg.ssr_rotate_limit, shape), 0.0)
-        scale *= jnp.where(do, 1.0 + _u(ks[2], -cfg.ssr_scale_limit,
-                                        cfg.ssr_scale_limit, shape), 1.0)
-        ty += jnp.where(do, _u(ks[3], -cfg.ssr_shift_limit,
-                               cfg.ssr_shift_limit, shape) * H, 0.0)
-        tx += jnp.where(do, _u(ks[4], -cfg.ssr_shift_limit,
-                               cfg.ssr_shift_limit, shape) * W, 0.0)
+        do = u[4] < cfg.shift_scale_rotate_p
+        angle += jnp.where(do, _rng(u[5], -cfg.ssr_rotate_limit,
+                                    cfg.ssr_rotate_limit), 0.0)
+        scale *= jnp.where(do, 1.0 + _rng(u[6], -cfg.ssr_scale_limit,
+                                          cfg.ssr_scale_limit), 1.0)
+        ty += jnp.where(do, _rng(u[7], -cfg.ssr_shift_limit,
+                                 cfg.ssr_shift_limit) * H, 0.0)
+        tx += jnp.where(do, _rng(u[8], -cfg.ssr_shift_limit,
+                                 cfg.ssr_shift_limit) * W, 0.0)
     return angle, scale, ty, tx
 
 
@@ -275,13 +280,18 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     # taps to f32 for the lerp, losslessly.
     img = images_u8
     masks = jnp.asarray(masks, jnp.float32)
-    k = {name: jax.random.fold_in(key, i) for i, name in enumerate(
-        ["flip", "rot", "zoom", "ssr", "bc", "hsv", "cj", "noise", "blur"])}
+    # ALL the tiny parameter draws come from one (17,B) uniform matrix
+    # (one threefry op) — ~50 separate fold_in/split/uniform ops cost
+    # several ms/step of launch-bound u32 chains on this runtime
+    # (docs/step_trace.json). Rows are exclusive per op; the warp
+    # triple and the noise bits get their own keys.
+    kw, kps, kn = jax.random.split(key, 3)
+    U = jax.random.uniform(kps, (17, B))
     col = lambda x: x[:, None, None, None]  # [B] -> broadcastable
 
     # --- horizontal flip (per-sample, reverse is free)
     if cfg.hflip_p > 0:
-        do = col(_u(k["flip"], 0, 1, (B,)) < cfg.hflip_p)
+        do = col(U[0] < cfg.hflip_p)
         img = jnp.where(do, img[:, :, ::-1], img)
         masks = jnp.where(do, masks[:, :, ::-1], masks)
 
@@ -289,7 +299,8 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     # default; per_sample_warp draws one parameter set per sample)
     if cfg.any_warp:
         shape = (B,) if cfg.per_sample_warp else ()
-        angle, scale, ty, tx = draw_warp_params(k, cfg, shape, H, W)
+        angle, scale, ty, tx = draw_warp_params({"rot": kw}, cfg, shape,
+                                                H, W)
         if cfg.per_sample_warp:
             img, masks = _per_sample_affine_warp(img, masks, angle, scale,
                                                  ty, tx)
@@ -301,21 +312,19 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
 
     # --- brightness / contrast (per-sample)
     if cfg.brightness_contrast_p > 0:
-        kb = jax.random.split(k["bc"], 3)
-        do = col(_u(kb[0], 0, 1, (B,)) < cfg.brightness_contrast_p)
-        alpha = col(1.0 + _u(kb[1], -cfg.contrast_limit,
-                             cfg.contrast_limit, (B,)))
-        beta = col(_u(kb[2], -cfg.brightness_limit,
-                      cfg.brightness_limit, (B,)) * 255.0)
+        do = col(U[1] < cfg.brightness_contrast_p)
+        alpha = col(1.0 + _rng(U[2], -cfg.contrast_limit,
+                               cfg.contrast_limit))
+        beta = col(_rng(U[3], -cfg.brightness_limit,
+                        cfg.brightness_limit) * 255.0)
         img = jnp.where(do, jnp.clip(img * alpha + beta, 0, 255), img)
 
     # --- HSV jitter (per-sample, OpenCV scales)
     if cfg.hsv_p > 0:
-        kh = jax.random.split(k["hsv"], 4)
-        do = col(_u(kh[0], 0, 1, (B,)) < cfg.hsv_p)
-        dh = col(_u(kh[1], -cfg.hue_shift, cfg.hue_shift, (B,)) / 180.0)
-        ds = col(_u(kh[2], -cfg.sat_shift, cfg.sat_shift, (B,)) / 255.0)
-        dv = col(_u(kh[3], -cfg.val_shift, cfg.val_shift, (B,)) / 255.0)
+        do = col(U[4] < cfg.hsv_p)
+        dh = col(_rng(U[5], -cfg.hue_shift, cfg.hue_shift) / 180.0)
+        ds = col(_rng(U[6], -cfg.sat_shift, cfg.sat_shift) / 255.0)
+        dv = col(_rng(U[7], -cfg.val_shift, cfg.val_shift) / 255.0)
         h, s, v = _rgb_to_hsv(img / 255.0)
         out = _hsv_to_rgb((h[..., None] + dh)[..., 0] % 1.0,
                           jnp.clip((s[..., None] + ds)[..., 0], 0, 1),
@@ -324,12 +333,11 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
 
     # --- ColorJitter (224 finetune, per-sample)
     if cfg.color_jitter_p > 0:
-        kc = jax.random.split(k["cj"], 5)
-        do = col(_u(kc[0], 0, 1, (B,)) < cfg.color_jitter_p)
-        br = col(1.0 + _u(kc[1], -cfg.cj_brightness, cfg.cj_brightness, (B,)))
-        ct = col(1.0 + _u(kc[2], -cfg.cj_contrast, cfg.cj_contrast, (B,)))
-        st = col(1.0 + _u(kc[3], -cfg.cj_saturation, cfg.cj_saturation, (B,)))
-        hu = col(_u(kc[4], -cfg.cj_hue, cfg.cj_hue, (B,)))
+        do = col(U[8] < cfg.color_jitter_p)
+        br = col(1.0 + _rng(U[9], -cfg.cj_brightness, cfg.cj_brightness))
+        ct = col(1.0 + _rng(U[10], -cfg.cj_contrast, cfg.cj_contrast))
+        st = col(1.0 + _rng(U[11], -cfg.cj_saturation, cfg.cj_saturation))
+        hu = col(_rng(U[12], -cfg.cj_hue, cfg.cj_hue))
         out = img * br
         mean = jnp.mean(out, axis=(1, 2, 3), keepdims=True)
         out = jnp.clip((out - mean) * ct + mean, 0, 255)
@@ -346,10 +354,9 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
     # threefry stream, still deterministic per (key, step), same N(0,1)
     # marginal; tiny per-sample draws stay threefry.
     if cfg.noise_p > 0:
-        kn = jax.random.split(k["noise"], 3)
-        do = col(_u(kn[0], 0, 1, (B,)) < cfg.noise_p)
-        var = col(_u(kn[1], cfg.noise_var[0], cfg.noise_var[1], (B,)))
-        kd = jax.random.key_data(kn[2])  # threefry key = 2 x u32
+        do = col(U[13] < cfg.noise_p)
+        var = col(_rng(U[14], cfg.noise_var[0], cfg.noise_var[1]))
+        kd = jax.random.key_data(kn)  # threefry key = 2 x u32
         rk = jax.random.wrap_key_data(
             jnp.concatenate([kd, kd ^ jnp.uint32(0x9E3779B9)]),
             impl="rbg")  # seed from raw key data: no threefry block
@@ -358,9 +365,8 @@ def augment_batch(key, images_u8, masks, cfg: AugmentConfig):
 
     # --- motion blur: 3-tap line, per-batch direction, per-sample gate
     if cfg.motion_blur_p > 0:
-        km = jax.random.split(k["blur"], 2)
-        do = col(_u(km[0], 0, 1, (B,)) < cfg.motion_blur_p)
-        d = jax.random.randint(km[1], (), 0, 4)
+        do = col(U[15] < cfg.motion_blur_p)
+        d = jnp.minimum((U[16, 0] * 4.0).astype(jnp.int32), 3)
         offs = jnp.array([[[0, -1], [0, 1]],     # horizontal
                           [[-1, 0], [1, 0]],     # vertical
                           [[-1, -1], [1, 1]],    # diagonal

@@ -15,6 +15,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cartseg_tpu.models.norm import batch_norm
+
 # (expand_ratio, out_channels, num_repeats, stride, kernel_size)
 _B0_BLOCKS = (
     (1, 16, 1, 1, 3),
@@ -42,9 +44,8 @@ class MBConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
-            dtype=self.dtype, name=name)
+        norm = lambda name: batch_norm(not train, self.dtype, name,
+                                       epsilon=1e-3)
         mid = self.in_ch * self.expand
         y = x
         if self.expand != 1:
@@ -84,9 +85,8 @@ class EfficientNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-3,
-            dtype=self.dtype, name=name)
+        norm = lambda name: batch_norm(not train, self.dtype, name,
+                                       epsilon=1e-3)
         feats = []
         y = nn.Conv(32, (3, 3), strides=(2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)

@@ -10,6 +10,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cartseg_tpu.models.norm import batch_norm
+
 
 class BasicBlock(nn.Module):
     features: int
@@ -18,9 +20,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+        norm = lambda name: batch_norm(not train, self.dtype, name)
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     padding=1, use_bias=False, dtype=self.dtype,
@@ -53,8 +53,7 @@ class ResNetEncoder(nn.Module):
         feats = []
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = batch_norm(not train, self.dtype, "bn1")(y)
         y = nn.relu(y)
         feats.append(y)  # stride 2, 64ch
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

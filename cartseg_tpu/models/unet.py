@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from cartseg_tpu.models.norm import batch_norm
+
 
 def _upsample2x(x):
     """Nearest-neighbor 2x upsample (smp decoder's interpolate) as one
@@ -31,6 +33,47 @@ def _upsample2x(x):
 # 2 of these 4 taps are live; M[r, u] says how kernel row u contributes
 # to transposed-kernel row r (derivation in FusedUpsampleConv).
 _UPCONV_M = ((1, 0, 0), (1, 1, 0), (0, 1, 1), (0, 0, 1))
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+@jax.custom_vjp
+def _upconv2x(x, k4):
+    """stride-2 transposed conv (lhs_dilation=2, pad 2) with a 4x4
+    kernel — the fused up2+conv3 core. Custom VJP: XLA's autodiff of an
+    lhs-dilated conv emits full-tensor spatial `reverse` ops on the
+    gradient path (~8.7 ms/step at 512^2, docs/step_trace.json); both
+    gradients are plain convolutions when written directly —
+      dx: stride-2 conv of dy with the flipped/transposed kernel,
+      dk: batch-contracting conv of x (dilated) with dy, expressed via
+          dimension_numbers so no big-tensor transpose materializes."""
+    return jax.lax.conv_general_dilated(
+        x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=_DN)
+
+
+def _upconv2x_fwd(x, k4):
+    return _upconv2x(x, k4), (x, k4)
+
+
+def _upconv2x_bwd(res, dy):
+    x, k4 = res
+    # dx[i] = sum_u dy[2i+u] k4[2-u]  (u in -1..2) -> stride-2 conv,
+    # pad (1,2), kernel flipped on both spatial axes, io-transposed
+    kT = jnp.transpose(k4[::-1, ::-1], (0, 1, 3, 2))
+    dx = jax.lax.conv_general_dilated(
+        dy, kT, window_strides=(2, 2), padding=((1, 2), (1, 2)),
+        dimension_numbers=_DN)
+    # dk4[r,s,ci,co] = sum_{b,m,n} xdil_pad[b, m+r-2, n+s-2, ci] dy[b,m,n,co]
+    # = conv(lhs=x as C<->N swapped, rhs=dy as I=batch, O=co)
+    dk = jax.lax.conv_general_dilated(
+        x, dy, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("CHWN", "IHWO", "NHWC"))
+    return dx, jnp.transpose(dk, (1, 2, 0, 3))
+
+
+_upconv2x.defvjp(_upconv2x_fwd, _upconv2x_bwd)
 
 
 class FusedUpsampleConv(nn.Module):
@@ -76,11 +119,19 @@ class FusedUpsampleConv(nn.Module):
             k_up, k_skip = k[:, :, :cu], k[:, :, cu:]
         m = jnp.asarray(_UPCONV_M, self.dtype)
         k4 = jnp.einsum("ru,sv,uvio->rsio", m, m, k_up)
-        dn = ("NHWC", "HWIO", "NHWC")
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k4, window_strides=(1, 1),
-            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
-            dimension_numbers=dn)
+        dn = _DN
+        # Measured dead-even with autodiff on-chip (130.4 ms/step both
+        # lanes, full 512^2 step — XLA canonicalizes to the same convs;
+        # docs/BENCHMARKS.md), so autodiff stays the default; the
+        # custom lane is kept as the parity-tested experiment.
+        import os
+        if os.environ.get("CARTSEG_UPCONV_VJP", "0") != "0":
+            y = _upconv2x(x.astype(self.dtype), k4)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k4, window_strides=(1, 1),
+                padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=dn)
         if skip is not None:
             y = y + jax.lax.conv_general_dilated(
                 skip.astype(self.dtype), k_skip,
@@ -96,9 +147,7 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+        norm = lambda name: batch_norm(not train, self.dtype, name)
         if self.fused:
             x = FusedUpsampleConv(self.features, self.dtype,
                                   name="conv1")(x, skip)

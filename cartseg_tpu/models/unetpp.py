@@ -19,6 +19,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from cartseg_tpu.models.norm import batch_norm
+
 from cartseg_tpu.models.unet import (_upsample2x, FusedUpsampleConv,
                                      SegmentationHead)
 
@@ -34,9 +36,7 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, up=None):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, name=name)
+        norm = lambda name: batch_norm(not train, self.dtype, name)
         if up is not None and self.fused:
             x = FusedUpsampleConv(self.features, self.dtype,
                                   skip_first=True, name="conv1")(up, x)

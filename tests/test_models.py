@@ -266,3 +266,126 @@ def test_unetpp_deep_supervision():
     assert out.shape == (2, 64, 64, 1)
     labels = param_groups(variables["params"])
     assert labels["aux_head_1"]["conv"]["kernel"] == "head"
+
+
+# --------------------------------------------------- TpuBatchNorm parity
+
+def _bn_pair(dtype):
+    import flax.linen as nn
+    from cartseg_tpu.models.norm import TpuBatchNorm
+    ours = TpuBatchNorm(use_running_average=False, momentum=0.9,
+                        epsilon=1e-5, dtype=dtype)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       epsilon=1e-5, dtype=dtype)
+    return ours, ref
+
+
+@pytest.mark.parametrize("shape", [(8, 16, 16, 16),   # pallas lane
+                                   (2, 5, 7, 3)])     # xla fallback lane
+def test_tpu_batch_norm_forward_and_stats(rng, shape):
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32) * 2 + 0.5)
+    ours, ref = _bn_pair(jnp.float32)
+    vo = ours.init(jax.random.key(0), x)
+    vr = ref.init(jax.random.key(0), x)
+    yo, mo = ours.apply(vo, x, mutable=["batch_stats"])
+    yr, mr = ref.apply(vr, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yo), np.asarray(yr),
+                               rtol=1e-5, atol=1e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(mo["batch_stats"][k]),
+                                   np.asarray(mr["batch_stats"][k]),
+                                   rtol=1e-5, atol=1e-6)
+    # eval mode on the updated stats
+    vo2 = {**vo, "batch_stats": mo["batch_stats"]}
+    vr2 = {**vr, "batch_stats": mr["batch_stats"]}
+    ours_e = type(ours)(use_running_average=True, momentum=0.9,
+                        epsilon=1e-5, dtype=jnp.float32)
+    import flax.linen as nn
+    ref_e = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ours_e.apply(vo2, x)),
+                               np.asarray(ref_e.apply(vr2, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 16, 16, 16), (2, 5, 7, 3)])
+def test_tpu_batch_norm_grads_match_autodiff(rng, shape):
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    ours, ref = _bn_pair(jnp.float32)
+    vo = ours.init(jax.random.key(1), x)
+    # non-trivial scale/bias so dgamma/dbeta interact with the stats
+    vo = jax.tree_util.tree_map(lambda p: p, vo)
+    params = {"scale": jnp.asarray(rng.normal(size=shape[-1:]),
+                                   jnp.float32) + 1.5,
+              "bias": jnp.asarray(rng.normal(size=shape[-1:]), jnp.float32)}
+    variables = {"params": params,
+                 "batch_stats": vo["batch_stats"]}
+
+    def loss(mod, xx, pp):
+        y, _ = mod.apply({"params": pp["params"],
+                          "batch_stats": pp["batch_stats"]}, xx,
+                         mutable=["batch_stats"])
+        return jnp.sum(y * w)
+
+    go = jax.grad(loss, argnums=(1, 2))(ours, x, variables)
+    gr = jax.grad(loss, argnums=(1, 2))(ref, x, variables)
+    np.testing.assert_allclose(np.asarray(go[0]), np.asarray(gr[0]),
+                               rtol=2e-4, atol=2e-5)
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(go[1]["params"][k]),
+                                   np.asarray(gr[1]["params"][k]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_tpu_batch_norm_bf16_close_to_flax(rng):
+    x = jnp.asarray(rng.normal(size=(8, 8, 16, 32)).astype(np.float32))
+    ours, ref = _bn_pair(jnp.bfloat16)
+    v = ours.init(jax.random.key(2), x)
+    yo, _ = ours.apply(v, x, mutable=["batch_stats"])
+    yr, _ = ref.apply(v, x, mutable=["batch_stats"])
+    assert yo.dtype == jnp.bfloat16 and yr.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(yo, np.float32),
+                               np.asarray(yr, np.float32),
+                               rtol=0.05, atol=0.05)
+
+
+def test_channel_sums_oracle(rng):
+    from cartseg_tpu.ops.pallas.channel_sums import (
+        channel_sums_pallas, channel_sums_xla, supported)
+    a = jnp.asarray(rng.normal(size=(4, 6, 8, 16)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(4, 6, 8, 16)).astype(np.float32))
+    assert supported(a.shape)
+    sa_p, sab_p = channel_sums_pallas(a, b)
+    sa_x, sab_x = channel_sums_xla(a, b)
+    np.testing.assert_allclose(np.asarray(sa_p), np.asarray(sa_x),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sab_p), np.asarray(sab_x),
+                               rtol=1e-5, atol=1e-4)
+    assert not supported((2, 5, 7, 3))
+
+
+def test_upconv2x_custom_vjp_matches_autodiff(rng):
+    """The fused decoder's transposed-conv custom VJP (reverse-free
+    gradient convs) vs jax autodiff of the same primitive."""
+    from cartseg_tpu.models.unet import _upconv2x
+
+    def ref(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    for (B, H, W, Ci, Co) in [(2, 8, 8, 5, 7), (2, 16, 8, 4, 6)]:
+        x = jnp.asarray(rng.normal(size=(B, H, W, Ci)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(4, 4, Ci, Co)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(B, 2 * H, 2 * W, Co)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(_upconv2x(x, k)),
+                                   np.asarray(ref(x, k)), atol=1e-5)
+        go = jax.grad(lambda x, k: jnp.sum(_upconv2x(x, k) * w),
+                      argnums=(0, 1))(x, k)
+        gr = jax.grad(lambda x, k: jnp.sum(ref(x, k) * w),
+                      argnums=(0, 1))(x, k)
+        np.testing.assert_allclose(np.asarray(go[0]), np.asarray(gr[0]),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(go[1]), np.asarray(gr[1]),
+                                   atol=1e-3)

@@ -1,0 +1,132 @@
+"""Serving subsystem: jax.export artifact round-trip (self-contained
+StableHLO, params baked in), micro-batcher semantics, end-to-end
+segment() geometry, and the stdlib HTTP endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu.models import build_model, init_model
+from cartseg_tpu.serve import (
+    export_segmenter, load_segmenter, MicroBatcher, SegmentationService,
+)
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    model = build_model("resnet18", dtype=jnp.float32)
+    variables = init_model(model, jax.random.key(0), (1, 64, 64, 3))
+    d = tmp_path_factory.mktemp("artifact")
+    export_segmenter(d, variables=variables, encoder="resnet18",
+                     img_hw=(64, 64), batch_size=4, threshold=0.4,
+                     compute_dtype="float32")
+    return d, model, variables
+
+
+def test_export_roundtrip_matches_model(artifact, rng):
+    d, model, variables = artifact
+    served = load_segmenter(d)
+    assert served.manifest["threshold"] == 0.4
+    x = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    probs = served.predict_probs(x)
+    ref = np.asarray(jax.nn.sigmoid(model.apply(
+        variables, jnp.asarray(x, jnp.float32) / 255.0,
+        train=False))[..., 0])
+    np.testing.assert_allclose(probs, ref, atol=1e-5)
+
+
+def test_ragged_batch_padding(artifact, rng):
+    d, model, variables = artifact
+    served = load_segmenter(d)
+    x = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    probs = served.predict_probs(x)
+    assert probs.shape == (2, 64, 64)
+    full = served.predict_probs(
+        np.concatenate([x, np.zeros_like(x)])[:4])
+    np.testing.assert_allclose(probs, full[:2], atol=1e-6)
+    with pytest.raises(ValueError):
+        served.predict_probs(rng.integers(
+            0, 255, (5, 64, 64, 3)).astype(np.uint8))
+
+
+def test_segment_returns_original_resolution(artifact, rng):
+    d, _, _ = artifact
+    served = load_segmenter(d)
+    img = rng.integers(0, 255, (100, 160, 3)).astype(np.uint8)
+    mask = served.segment(img)
+    assert mask.shape == (100, 160)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
+def test_micro_batcher_batches_and_preserves_order():
+    seen = []
+
+    def run(items):
+        seen.append(len(items))
+        return [i * 10 for i in items]
+
+    mb = MicroBatcher(run, batch_size=4, max_latency_ms=50)
+    futs = [mb.submit(i) for i in range(6)]
+    assert [f.result(timeout=5) for f in futs] == [0, 10, 20, 30, 40, 50]
+    mb.close()
+    assert sum(seen) == 6
+    assert max(seen) <= 4
+
+
+def test_micro_batcher_propagates_errors():
+    def run(items):
+        raise RuntimeError("device fell over")
+
+    mb = MicroBatcher(run, batch_size=2, max_latency_ms=10)
+    f = mb.submit(1)
+    with pytest.raises(RuntimeError, match="fell over"):
+        f.result(timeout=5)
+    mb.close()
+
+
+def test_service_concurrent_requests(artifact, rng):
+    d, _, _ = artifact
+    svc = SegmentationService(d, max_latency_ms=30)
+    imgs = [rng.integers(0, 255, (48 + 8 * i, 80, 3)).astype(np.uint8)
+            for i in range(6)]
+    futs = [svc.submit(im) for im in imgs]
+    for im, f in zip(imgs, futs):
+        assert f.result(timeout=30).shape == im.shape[:2]
+    svc.close()
+
+
+def test_http_endpoint(artifact, rng):
+    import cv2
+
+    from cartseg_tpu.serve.server import make_http_server
+
+    d, _, _ = artifact
+    svc = SegmentationService(d, max_latency_ms=10)
+    srv = make_http_server(svc, 0)  # ephemeral port
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            manifest = json.loads(r.read())
+        assert manifest["batch_size"] == 4
+        img = rng.integers(0, 255, (90, 120, 3)).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img[:, :, ::-1])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/segment", data=png.tobytes(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read()
+        mask = cv2.imdecode(np.frombuffer(body, np.uint8),
+                            cv2.IMREAD_GRAYSCALE)
+        assert mask.shape == (90, 120)
+    finally:
+        srv.shutdown()
+        svc.close()

@@ -11,9 +11,15 @@ from cartseg_tpu.models.resnet import ResNetEncoder
 from cartseg_tpu.models.efficientnet import EfficientNetEncoder
 from cartseg_tpu.models.classic_unet import ClassicUNet
 from cartseg_tpu.models.factory import build_model, init_model, param_groups
+from cartseg_tpu.models.sam import (
+    Sam, SamConfig, TpuSamPredictor, build_sam_vit_b, convert_torch_sam,
+    load_tpu_sam,
+)
 
 __all__ = [
     "UNet", "UNetDecoder", "SegmentationHead",
     "ResNetEncoder", "EfficientNetEncoder", "ClassicUNet",
     "build_model", "init_model", "param_groups",
+    "Sam", "SamConfig", "TpuSamPredictor", "build_sam_vit_b",
+    "convert_torch_sam", "load_tpu_sam",
 ]

@@ -123,17 +123,30 @@ class TPUProposer:
 
 # -------------------------------------------------------- optional SAM
 
-def load_sam(checkpoint: Optional[Path] = None, model_type: str = "vit_b"):
-    """Returns a SamPredictor or None when segment_anything is absent
-    (it is an optional, host-side, human-interactive dependency —
-    SURVEY.md section 2.6)."""
-    try:
-        from segment_anything import sam_model_registry, SamPredictor
-    except ImportError:
+def load_sam(checkpoint: Optional[Path] = None, model_type: str = "vit_b",
+             backend: str = "auto"):
+    """Returns a predictor with the SamPredictor interface, or None.
+
+    backend='torch' uses the host `segment_anything` package exactly as
+    the reference does (create_testset.py:94-96); backend='tpu' runs
+    the Flax SAM ViT-B (models/sam.py) on the accelerator from the same
+    official .pth checkpoint; 'auto' prefers torch when the package is
+    installed and falls back to the TPU port when a checkpoint is
+    given."""
+    if backend in ("auto", "torch"):
+        try:
+            from segment_anything import sam_model_registry, SamPredictor
+            sam = sam_model_registry[model_type](
+                checkpoint=str(checkpoint) if checkpoint else None)
+            return SamPredictor(sam)
+        except ImportError:
+            if backend == "torch":
+                return None
+    if checkpoint is None or model_type != "vit_b":
         return None
-    sam = sam_model_registry[model_type](
-        checkpoint=str(checkpoint) if checkpoint else None)
-    return SamPredictor(sam)
+    from cartseg_tpu.models.sam import load_tpu_sam
+
+    return load_tpu_sam(checkpoint)
 
 
 # ------------------------------------------------------------- session

@@ -1,0 +1,282 @@
+"""Flax SAM ViT-B (models/sam.py) — the TPU replacement for the
+reference's `segment_anything` dependency (create_testset.py:8,94-96).
+
+Without the weight file (zero-egress container) the tests validate:
+  * forward shapes / jit-ability of all three parts on a small config,
+  * the torch->flax converter against a synthetic state dict built
+    with the OFFICIAL checkpoint key names and torch layouts
+    (independent shape formulas, not derived from the flax tree),
+  * the TpuSamPredictor drop-in interface the annotation tool drives
+    (tools/annotate.py:178-193).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartseg_tpu.models.sam import (
+    Sam, SamConfig, TpuSamPredictor, convert_torch_sam, load_tpu_sam,
+    official_sam_keys, _window_partition, _window_unpartition,
+)
+
+SMALL = SamConfig(
+    img_size=64, patch_size=16, encoder_dim=32, encoder_depth=2,
+    encoder_heads=2, window_size=2, global_attn_indexes=(1,),
+    prompt_dim=32, mask_in_chans=16, decoder_heads=2, decoder_mlp_dim=64,
+)
+
+
+def _torch_shapes(c: SamConfig) -> dict:
+    """Official checkpoint key -> torch-layout shape, written from the
+    segment_anything modeling code (independent of the converter)."""
+    d, pd, g = c.encoder_dim, c.prompt_dim, c.embed_hw
+    hd = d // c.encoder_heads
+    mic = c.mask_in_chans
+    nm = c.num_mask_tokens
+    s = {
+        "image_encoder.patch_embed.proj.weight": (d, 3, c.patch_size,
+                                                  c.patch_size),
+        "image_encoder.patch_embed.proj.bias": (d,),
+        "image_encoder.pos_embed": (1, g, g, d),
+        "image_encoder.neck.0.weight": (pd, d, 1, 1),
+        "image_encoder.neck.1.weight": (pd,),
+        "image_encoder.neck.1.bias": (pd,),
+        "image_encoder.neck.2.weight": (pd, pd, 3, 3),
+        "image_encoder.neck.3.weight": (pd,),
+        "image_encoder.neck.3.bias": (pd,),
+        "prompt_encoder.pe_layer.positional_encoding_gaussian_matrix":
+            (2, pd // 2),
+        "prompt_encoder.not_a_point_embed.weight": (1, pd),
+        "prompt_encoder.no_mask_embed.weight": (1, pd),
+        "mask_decoder.iou_token.weight": (1, pd),
+        "mask_decoder.mask_tokens.weight": (nm, pd),
+        "mask_decoder.output_upscaling.0.weight": (pd, pd // 4, 2, 2),
+        "mask_decoder.output_upscaling.0.bias": (pd // 4,),
+        "mask_decoder.output_upscaling.1.weight": (pd // 4,),
+        "mask_decoder.output_upscaling.1.bias": (pd // 4,),
+        "mask_decoder.output_upscaling.3.weight": (pd // 4, pd // 8, 2, 2),
+        "mask_decoder.output_upscaling.3.bias": (pd // 8,),
+        "mask_decoder.transformer.norm_final_attn.weight": (pd,),
+        "mask_decoder.transformer.norm_final_attn.bias": (pd,),
+    }
+    for i in range(4):
+        s[f"prompt_encoder.point_embeddings.{i}.weight"] = (1, pd)
+    # mask_downscaling (optional mask-prompt path, converter ignores)
+    s["prompt_encoder.mask_downscaling.0.weight"] = (mic // 4, 1, 2, 2)
+    s["prompt_encoder.mask_downscaling.0.bias"] = (mic // 4,)
+    s["prompt_encoder.mask_downscaling.1.weight"] = (mic // 4,)
+    s["prompt_encoder.mask_downscaling.1.bias"] = (mic // 4,)
+    s["prompt_encoder.mask_downscaling.3.weight"] = (mic, mic // 4, 2, 2)
+    s["prompt_encoder.mask_downscaling.3.bias"] = (mic,)
+    s["prompt_encoder.mask_downscaling.4.weight"] = (mic,)
+    s["prompt_encoder.mask_downscaling.4.bias"] = (mic,)
+    s["prompt_encoder.mask_downscaling.6.weight"] = (pd, mic, 1, 1)
+    s["prompt_encoder.mask_downscaling.6.bias"] = (pd,)
+    for i in range(c.encoder_depth):
+        p = f"image_encoder.blocks.{i}"
+        size = g if i in c.global_attn_indexes else c.window_size
+        s[f"{p}.norm1.weight"] = (d,)
+        s[f"{p}.norm1.bias"] = (d,)
+        s[f"{p}.norm2.weight"] = (d,)
+        s[f"{p}.norm2.bias"] = (d,)
+        s[f"{p}.attn.qkv.weight"] = (3 * d, d)
+        s[f"{p}.attn.qkv.bias"] = (3 * d,)
+        s[f"{p}.attn.proj.weight"] = (d, d)
+        s[f"{p}.attn.proj.bias"] = (d,)
+        s[f"{p}.attn.rel_pos_h"] = (2 * size - 1, hd)
+        s[f"{p}.attn.rel_pos_w"] = (2 * size - 1, hd)
+        s[f"{p}.mlp.lin1.weight"] = (int(d * c.encoder_mlp_ratio), d)
+        s[f"{p}.mlp.lin1.bias"] = (int(d * c.encoder_mlp_ratio),)
+        s[f"{p}.mlp.lin2.weight"] = (d, int(d * c.encoder_mlp_ratio))
+        s[f"{p}.mlp.lin2.bias"] = (d,)
+    half = pd // 2
+    for i in range(c.decoder_depth):
+        p = f"mask_decoder.transformer.layers.{i}"
+        for a, inner in (("self_attn", pd),
+                         ("cross_attn_token_to_image", half),
+                         ("cross_attn_image_to_token", half)):
+            s[f"{p}.{a}.q_proj.weight"] = (inner, pd)
+            s[f"{p}.{a}.q_proj.bias"] = (inner,)
+            s[f"{p}.{a}.k_proj.weight"] = (inner, pd)
+            s[f"{p}.{a}.k_proj.bias"] = (inner,)
+            s[f"{p}.{a}.v_proj.weight"] = (inner, pd)
+            s[f"{p}.{a}.v_proj.bias"] = (inner,)
+            s[f"{p}.{a}.out_proj.weight"] = (pd, inner)
+            s[f"{p}.{a}.out_proj.bias"] = (pd,)
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            s[f"{p}.{n}.weight"] = (pd,)
+            s[f"{p}.{n}.bias"] = (pd,)
+        s[f"{p}.mlp.lin1.weight"] = (c.decoder_mlp_dim, pd)
+        s[f"{p}.mlp.lin1.bias"] = (c.decoder_mlp_dim,)
+        s[f"{p}.mlp.lin2.weight"] = (pd, c.decoder_mlp_dim)
+        s[f"{p}.mlp.lin2.bias"] = (pd,)
+    p = "mask_decoder.transformer.final_attn_token_to_image"
+    for pr in ("q_proj", "k_proj", "v_proj"):
+        s[f"{p}.{pr}.weight"] = (half, pd)
+        s[f"{p}.{pr}.bias"] = (half,)
+    s[f"{p}.out_proj.weight"] = (pd, half)
+    s[f"{p}.out_proj.bias"] = (pd,)
+    for i in range(nm):
+        p = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        s[f"{p}.layers.0.weight"] = (pd, pd)
+        s[f"{p}.layers.0.bias"] = (pd,)
+        s[f"{p}.layers.1.weight"] = (pd, pd)
+        s[f"{p}.layers.1.bias"] = (pd,)
+        s[f"{p}.layers.2.weight"] = (pd // 8, pd)
+        s[f"{p}.layers.2.bias"] = (pd // 8,)
+    for j, out in ((0, pd), (1, pd), (2, nm)):
+        s[f"mask_decoder.iou_prediction_head.layers.{j}.weight"] = \
+            (out, pd if j == 0 else pd)
+        s[f"mask_decoder.iou_prediction_head.layers.{j}.bias"] = (out,)
+    return s
+
+
+def _synthetic_sd(c: SamConfig, seed=0):
+    rng = np.random.default_rng(seed)
+    return {k: rng.normal(size=sh).astype(np.float32) * 0.02
+            for k, sh in _torch_shapes(c).items()}
+
+
+def _init_variables(c: SamConfig, seed=0):
+    model = Sam(c)
+    x = jnp.zeros((1, c.img_size, c.img_size, 3), jnp.float32)
+    coords = jnp.zeros((1, 2, 2), jnp.float32)
+    labels = jnp.zeros((1, 2), jnp.int32)
+    return model, model.init(jax.random.key(seed), x, coords, labels)
+
+
+def test_official_key_list_matches_shape_spec():
+    # the canonical key list and the independent shape spec must agree
+    assert set(official_sam_keys(SMALL)) == set(_torch_shapes(SMALL))
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 5 * 7 * 3, dtype=jnp.float32).reshape(2, 5, 7, 3)
+    wins, pad_hw = _window_partition(x, 3)
+    assert wins.shape == (2 * 2 * 3, 3, 3, 3)
+    y = _window_unpartition(wins, 3, pad_hw, (5, 7))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_forward_shapes_small():
+    c = SMALL
+    model, variables = _init_variables(c)
+    g = c.embed_hw
+    x = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (1, 48, c.img_size, 3), np.uint8))
+    coords = jnp.asarray([[[10.0, 12.0], [30.0, 20.0]]])
+    labels = jnp.asarray([[1, 0]], jnp.int32)
+    masks, iou = jax.jit(model.apply)(variables, x, coords, labels)
+    assert masks.shape == (1, c.num_mask_tokens, 4 * g, 4 * g)
+    assert iou.shape == (1, c.num_mask_tokens)
+    assert np.isfinite(np.asarray(masks)).all()
+    assert np.isfinite(np.asarray(iou)).all()
+
+
+def test_converter_matches_init_tree():
+    c = SMALL
+    _, variables = _init_variables(c)
+    converted = convert_torch_sam(_synthetic_sd(c), c)
+    ref = jax.tree_util.tree_leaves_with_path(variables["params"])
+    got_tree = converted["params"]
+    got = dict(jax.tree_util.tree_leaves_with_path(got_tree))
+    got = {jax.tree_util.keystr(k): v for k, v in got.items()}
+    assert len(ref) == len(got)
+    for path, leaf in ref:
+        key = jax.tree_util.keystr(path)
+        assert key in got, key
+        assert got[key].shape == leaf.shape, (key, got[key].shape,
+                                              leaf.shape)
+    # converted params actually run
+    model = Sam(c)
+    x = jnp.zeros((1, c.img_size, c.img_size, 3))
+    masks, iou = model.apply(converted, x, jnp.zeros((1, 2, 2)),
+                             jnp.zeros((1, 2), jnp.int32))
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_converter_linear_layout():
+    """A known linear weight must land transposed (torch (out,in) ->
+    flax (in,out)) and produce the same affine map."""
+    c = SMALL
+    sd = _synthetic_sd(c)
+    w = sd["mask_decoder.iou_prediction_head.layers.0.weight"]
+    converted = convert_torch_sam(sd, c)
+    k = converted["params"]["mask_decoder"]["iou_mlp_lin0"]["kernel"]
+    np.testing.assert_array_equal(k, w.T)
+
+
+def test_predictor_interface():
+    c = SMALL
+    _, variables = _init_variables(c)
+    pred = TpuSamPredictor(variables, c)
+    img = np.random.default_rng(1).integers(
+        0, 255, (50, 70, 3), np.uint8)
+    feats = pred.set_image(img)
+    assert pred.get_image_embedding() is feats
+    assert feats.shape == (1, c.embed_hw, c.embed_hw, c.prompt_dim)
+
+    masks, iou, _ = pred.predict(point_coords=np.array([[30, 25]]),
+                                 point_labels=np.array([1]),
+                                 multimask_output=False)
+    assert masks.shape == (1, 50, 70) and masks.dtype == bool
+    assert iou.shape == (1,)
+
+    masks3, iou3, _ = pred.predict(point_coords=np.array([[30, 25]]),
+                                   point_labels=np.array([1]),
+                                   multimask_output=True)
+    assert masks3.shape == (3, 50, 70) and iou3.shape == (3,)
+
+    mb, _, _ = pred.predict(box=np.array([5, 5, 40, 45]),
+                            multimask_output=False)
+    assert mb.shape == (1, 50, 70)
+
+    # determinism across calls (stable jit signature via prompt padding)
+    m2, i2, _ = pred.predict(point_coords=np.array([[30, 25]]),
+                             point_labels=np.array([1]),
+                             multimask_output=False)
+    np.testing.assert_array_equal(masks, m2)
+
+    # feature injection (the prefetch thread does this,
+    # tools/annotate.py:377-378)
+    pred2 = TpuSamPredictor(variables, c)
+    pred2.features = feats
+    pred2._orig_hw = (50, 70)
+    pred2._input_hw = pred._input_hw
+    m3, _, _ = pred2.predict(point_coords=np.array([[30, 25]]),
+                             point_labels=np.array([1]),
+                             multimask_output=False)
+    np.testing.assert_array_equal(masks, m3)
+
+
+def test_load_tpu_sam_from_torch_pth(tmp_path):
+    torch = pytest.importorskip("torch")
+    c = SMALL
+    sd = {k: torch.from_numpy(v) for k, v in _synthetic_sd(c).items()}
+    p = tmp_path / "sam_vit_b_synth.pth"
+    torch.save(sd, p)
+    pred = load_tpu_sam(p, c)
+    img = np.zeros((32, 64, 3), np.uint8)
+    pred.set_image(img)
+    masks, iou, _ = pred.predict(point_coords=np.array([[10, 10]]),
+                                 point_labels=np.array([1]),
+                                 multimask_output=False)
+    assert masks.shape == (1, 32, 64)
+
+
+def test_vit_b_default_config_param_count():
+    """The default config must produce the official ViT-B tree: same
+    key set as the real checkpoint (minus mask_downscaling) and the
+    well-known ~93.7M total parameters."""
+    c = SamConfig()
+    shapes = _torch_shapes(c)
+    assert set(official_sam_keys(c)) == set(shapes)
+    total = sum(int(np.prod(s)) for s in shapes.values())
+    enc = sum(int(np.prod(s)) for k, s in shapes.items()
+              if k.startswith("image_encoder"))
+    # matches the published SAM ViT-B sizes (~93.7M total, 89.67M image
+    # encoder); pinned to the spec's exact values as a regression guard
+    assert enc == 89_670_912, enc
+    assert total == 93_735_728, total

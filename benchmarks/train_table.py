@@ -99,6 +99,7 @@ ROWS = [
     ("bce_dice resnet34", "resnet34", 32, 224, "bce_dice"),
     ("bce_dice effnet-b0", "efficientnet-b0", 128, 224, "bce_dice"),
     ("bce_dice resnet34", "resnet34", 32, 512, "bce_dice"),
+    ("bce_dice resnet34", "resnet34", 128, 512, "bce_dice"),
     ("bce_dice+ABL effnet-b0", "efficientnet-b0", 6, 512, "abl"),
     ("bce_dice+SDF-boundary effnet-b0", "efficientnet-b0", 6, 512,
      "boundary"),

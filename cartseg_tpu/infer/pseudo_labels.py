@@ -71,7 +71,11 @@ class PseudoLabelConfig:
     side_padding_ratio: float = 0.1
     imagenet_norm: bool = True
     threshold: Optional[float] = None   # None -> first member's sidecar
-    batch_size: int = 16
+    # The reference gpu variant defaults bs=16 "increase if more VRAM"
+    # (create_pseudo_labels_gpu.py:43); on v5e-1 the measured sweet spot
+    # for the ensemble+TTA+QC program at 512^2 is bs=64 (326 img/s vs
+    # ~210 at bs32 and less at bs128 — docs/BENCHMARKS.md).
+    batch_size: int = 64
     qc: QCThresholds = dataclasses.field(default_factory=QCThresholds)
     min_area_frac: float = 0.001
     max_masks: int = 100_000
@@ -160,6 +164,11 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
                 yield np.stack(batch), metas
                 batch, metas = [], []
         if batch:
+            # Pad the tail to the full batch shape so the jitted
+            # ensemble program is traced exactly once; the save loop
+            # iterates metas, so padded rows are never written.
+            while len(batch) < cfg.batch_size:
+                batch.append(np.zeros_like(batch[0]))
             yield np.stack(batch), metas
 
     for imgs, metas in batches():

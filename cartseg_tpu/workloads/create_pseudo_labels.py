@@ -42,7 +42,7 @@ def main(argv=None):
     ap.add_argument("--encoder", default="efficientnet-b0")
     ap.add_argument("--img_size", type=int, default=512)
     ap.add_argument("--threshold", type=float, default=None)
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--max_masks", type=int, default=100_000)
     ap.add_argument("--max_per_bucket", type=int, default=50)
     ap.add_argument("--no_probs", action="store_true")

@@ -702,18 +702,22 @@ class TpuSamPredictor:
 
         mdl = self.model
 
+        # params are jit ARGUMENTS, not closure constants: a closed-over
+        # 93.7M-param tree would be baked into the HLO as 375 MB of
+        # literals (too large for the remote-compile transport, and
+        # re-staged on every recompile)
         @jax.jit
-        def _encode(x):
-            return mdl.apply(variables, mdl.preprocess(x),
+        def _encode(v, x):
+            return mdl.apply(v, mdl.preprocess(x),
                              method=mdl.encode_image)
 
         @jax.jit
-        def _decode(features, coords, labels):
-            return mdl.apply(variables, features, coords, labels,
+        def _decode(v, features, coords, labels):
+            return mdl.apply(v, features, coords, labels,
                              method=mdl.decode)
 
-        self._encode = _encode
-        self._decode = _decode
+        self._encode = lambda x: _encode(self.variables, x)
+        self._decode = lambda f, c, l: _decode(self.variables, f, c, l)
 
     # --- SamPredictor API
     def set_image(self, image_rgb: np.ndarray):

@@ -79,6 +79,11 @@ class SamConfig:
     mask_threshold: float = 0.0
     pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    # fp32 softmax in the ViT attention (official numerics). False keeps
+    # the global blocks' (12, 4096, 4096) logits bf16 end-to-end with an
+    # fp32-accumulated row sum -- measured quality/speed in
+    # docs/sam_bench.json before flipping any default.
+    attn_softmax_fp32: bool = True
 
     @property
     def embed_hw(self) -> int:
@@ -124,6 +129,7 @@ class ViTAttention(nn.Module):
     num_heads: int
     input_size: int           # H == W of the grid this block attends over
     dtype: jnp.dtype = jnp.float32
+    softmax_fp32: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -142,7 +148,18 @@ class ViTAttention(nn.Module):
         attn = _add_decomposed_rel_pos(
             attn, q, rel_h.astype(attn.dtype), rel_w.astype(attn.dtype),
             (h, w))
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        if self.softmax_fp32 or attn.dtype == jnp.float32:
+            # official numerics: full softmax in fp32
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        else:
+            # keep the (bnh, hw, hw) logits in bf16 end-to-end and only
+            # accumulate the row-sum in fp32: for the global blocks the
+            # fp32 materialization is 805 MB per block of pure HBM
+            # traffic that the (already bf16) attn @ v discards anyway
+            amax = jax.lax.stop_gradient(attn.max(axis=-1, keepdims=True))
+            e = jnp.exp(attn - amax)
+            s = e.sum(axis=-1, keepdims=True, dtype=jnp.float32)
+            attn = e / s.astype(e.dtype)
         attn = attn.astype(v.dtype)
         out = (attn @ v).reshape(b, self.num_heads, h, w, head_dim)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.dim)
@@ -175,6 +192,7 @@ class ViTBlock(nn.Module):
     window_size: int          # 0 => global attention
     grid_size: int            # full embedding grid (img/patch)
     dtype: jnp.dtype = jnp.float32
+    softmax_fp32: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -187,7 +205,8 @@ class ViTBlock(nn.Module):
         else:
             attn_size = self.grid_size
         y = ViTAttention(self.dim, self.num_heads, attn_size,
-                         dtype=self.dtype, name="attn")(y)
+                         dtype=self.dtype, softmax_fp32=self.softmax_fp32,
+                         name="attn")(y)
         if self.window_size > 0:
             y = _window_unpartition(y, self.window_size, pad_hw, (h, w))
         x = shortcut + y
@@ -217,7 +236,9 @@ class ImageEncoderViT(nn.Module):
         for i in range(c.encoder_depth):
             win = 0 if i in c.global_attn_indexes else c.window_size
             y = ViTBlock(c.encoder_dim, c.encoder_heads, c.encoder_mlp_ratio,
-                         win, g, dtype=self.dtype, name=f"block{i}")(y)
+                         win, g, dtype=self.dtype,
+                         softmax_fp32=c.attn_softmax_fp32,
+                         name=f"block{i}")(y)
         y = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="neck_ln1")(y)

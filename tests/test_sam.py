@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from cartseg_tpu.models.sam import (
-    Sam, SamConfig, TpuSamPredictor, convert_torch_sam, load_tpu_sam,
+    ImageEncoderViT, Sam, SamConfig, TpuSamPredictor, convert_torch_sam,
+    load_tpu_sam,
     official_sam_keys, _window_partition, _window_unpartition,
 )
 
@@ -280,3 +281,25 @@ def test_vit_b_default_config_param_count():
     # encoder); pinned to the spec's exact values as a regression guard
     assert enc == 89_670_912, enc
     assert total == 93_735_728, total
+
+
+def test_bf16_softmax_matches_fp32_reference():
+    """attn_softmax_fp32=False (bf16 logits, fp32-accumulated row sum)
+    must track the official fp32-softmax numerics closely enough for
+    mask prediction (<~1% relative on encoder features)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, img_size=64)
+    cfg_b = dataclasses.replace(cfg, attn_softmax_fp32=False)
+    enc_a = ImageEncoderViT(cfg, jnp.float32)
+    enc_b = ImageEncoderViT(cfg_b, jnp.bfloat16)
+    var = enc_a.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    var = jax.tree_util.tree_map(
+        lambda a: 0.02 * jax.random.normal(jax.random.key(1), a.shape), var)
+    x = jax.random.normal(jax.random.key(2), (1, 64, 64, 3))
+    ya = enc_a.apply(var, x)
+    yb = enc_b.apply(var, x).astype(jnp.float32)
+    rel = float(jnp.abs(ya - yb).max() / (jnp.abs(ya).max() + 1e-9))
+    # bf16 forward vs fp32 forward: dominated by bf16 matmuls, the
+    # softmax change itself is ~0.1%; bound the whole divergence
+    assert rel < 0.08, rel

@@ -293,11 +293,42 @@ def main():
     assert np.isfinite(float(jnp.mean(pr)))
     print(f"[smoke] ok, loss={train_loss:.4f}", flush=True)
 
+    # ---- SAM smoke on chip (small config: proves the ViT attention /
+    # prompt / decoder programs compile and run on hardware each round;
+    # full ViT-B timing lives in benchmarks/sam_bench.py)
+    print("[smoke] SAM encode+decode ...", flush=True)
+    import dataclasses as _dc
+
+    from cartseg_tpu.models.sam import Sam, SamConfig
+    scfg = SamConfig(img_size=256, encoder_dim=96, encoder_depth=2,
+                     encoder_heads=3, global_attn_indexes=(1,))
+    sam = Sam(scfg, dtype=jnp.bfloat16)
+    svar = jax.jit(lambda k: sam.init(
+        k, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 2, 2)),
+        jnp.zeros((1, 2), jnp.int32)))(jax.random.key(3))
+    feats = jax.jit(lambda v, xx: sam.apply(
+        v, sam.preprocess(xx), method=sam.encode_image))(
+            svar, jnp.asarray(rng.random((1, 256, 256, 3)), jnp.float32))
+    masks, ious = jax.jit(lambda v, f, c, l: sam.apply(
+        v, f, c, l, method=sam.decode))(
+            svar, feats, jnp.asarray([[[128.0, 128.0], [0.0, 0.0]]]),
+            jnp.asarray([[1, -1]], jnp.int32))
+    sam_iou0 = float(ious.reshape(-1)[0])
+    assert np.isfinite(float(jnp.sum(masks))) and np.isfinite(sam_iou0)
+    # bf16 softmax lane compiles on chip too
+    sam_b = Sam(_dc.replace(scfg, attn_softmax_fp32=False),
+                dtype=jnp.bfloat16)
+    fb = jax.jit(lambda v, xx: sam_b.apply(
+        v, sam_b.preprocess(xx), method=sam_b.encode_image))(
+            svar, jnp.asarray(rng.random((1, 256, 256, 3)), jnp.float32))
+    assert np.isfinite(float(jnp.sum(fb)))
+    print("[smoke] SAM ok", flush=True)
+
     # ---- report
     report = dict(date=str(date.today()), device=str(dev),
                   backend=backend, k_iters=K_ITERS,
                   kernels=rows, xla_only=sort_rows,
-                  train_smoke_loss=train_loss)
+                  train_smoke_loss=train_loss, sam_smoke=True)
     out_json = REPO / "docs" / "chip_parity.json"
     out_json.write_text(json.dumps(report, indent=1))
 

@@ -85,32 +85,10 @@ def classify(name: str) -> str:
     return "other"
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--img", type=int, default=224)
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--steps", type=int, default=8)
-    ns = ap.parse_args(argv)
-    assert jax.default_backend() == "tpu"
-
-    step, state = build_step(ns.img, ns.batch)
-    params, stats, opt, images, masks = state
-    key = jax.random.key(1)
-    for i in range(3):  # warmup/compile
-        key, k = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, images,
-                                        masks, k)
-    float(loss)
-
-    tracedir = "/tmp/step_trace"
-    jax.profiler.start_trace(tracedir)
-    for i in range(ns.steps):
-        key, k = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, images,
-                                        masks, k)
-    float(loss)
-    jax.profiler.stop_trace()
-
+def aggregate_trace(tracedir: str, steps: int, hlo: str) -> dict:
+    """Parse the newest trace in `tracedir`: per-op device time from the
+    'XLA Ops' thread, aggregated per step, hot fusions mapped back to
+    their HLO bodies."""
     tr = sorted(glob.glob(tracedir + "/plugins/profile/*/*.trace.json.gz"))
     with gzip.open(tr[-1]) as f:
         d = json.load(f)
@@ -136,10 +114,6 @@ def main(argv=None):
             cat[classify(base)] += e["dur"]
             total += e["dur"]
 
-    # map the top individual fusions back to their HLO definitions so
-    # the table says WHAT each hot fusion computes
-    hlo = step.lower(params, stats, opt, images, masks,
-                     jax.random.key(0)).compile().as_text()
     def describe(op):
         m = re.search(rf"%?{re.escape(op)} = .*", hlo)
         if not m:
@@ -166,21 +140,51 @@ def main(argv=None):
                     f"{k}x{v}" for k, v in common.most_common(6))
         return line.split(" = ")[1][:110]
     top_individual = sorted(raw.items(), key=lambda kv: -kv[1])[:20]
-    hot = [{"op": op, "ms_per_step": round(us / ns.steps / 1e3, 3),
+    hot = [{"op": op, "ms_per_step": round(us / steps / 1e3, 3),
             "hlo": describe(op)} for op, us in top_individual]
-    per_step = {k: round(v / ns.steps / 1e3, 3)
+    per_step = {k: round(v / steps / 1e3, 3)
                 for k, v in sorted(agg.items(), key=lambda kv: -kv[1])}
-    top = dict(list(per_step.items())[:25])
-    report = {
-        "shape": f"resnet34-UNet bs{ns.batch}@{ns.img}^2 bf16 full step",
-        "steps_traced": ns.steps,
-        "device_busy_ms_per_step": round(total / ns.steps / 1e3, 3),
-        "category_ms_per_step": {k: round(v / ns.steps / 1e3, 3)
+    return {
+        "steps_traced": steps,
+        "device_busy_ms_per_step": round(total / steps / 1e3, 3),
+        "category_ms_per_step": {k: round(v / steps / 1e3, 3)
                                  for k, v in sorted(cat.items(),
                                                     key=lambda kv: -kv[1])},
-        "top_ops_ms_per_step": top,
+        "top_ops_ms_per_step": dict(list(per_step.items())[:25]),
         "hot_fusions": hot,
     }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img", type=int, default=224)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=8)
+    ns = ap.parse_args(argv)
+    assert jax.default_backend() == "tpu"
+
+    step, state = build_step(ns.img, ns.batch)
+    params, stats, opt, images, masks = state
+    key = jax.random.key(1)
+    for i in range(3):  # warmup/compile
+        key, k = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt, images,
+                                        masks, k)
+    float(loss)
+
+    tracedir = "/tmp/step_trace"
+    jax.profiler.start_trace(tracedir)
+    for i in range(ns.steps):
+        key, k = jax.random.split(key)
+        params, stats, opt, loss = step(params, stats, opt, images,
+                                        masks, k)
+    float(loss)
+    jax.profiler.stop_trace()
+
+    hlo = step.lower(params, stats, opt, images, masks,
+                     jax.random.key(0)).compile().as_text()
+    report = aggregate_trace(tracedir, ns.steps, hlo)
+    report["shape"] = f"resnet34-UNet bs{ns.batch}@{ns.img}^2 bf16 full step"
     print(json.dumps(report, indent=1))
     (REPO / "docs" / "step_trace.json").write_text(
         json.dumps(report, indent=1))

@@ -87,13 +87,26 @@ class SegmentationService:
     """Letterbox + batched device inference + inverse letterbox, over
     the micro-batcher. Thread-safe; one device program."""
 
-    def __init__(self, artifact_dir, max_latency_ms: float = 20.0):
+    def __init__(self, artifact_dir, max_latency_ms: float = 20.0,
+                 warmup_iters: int = 10):
         from cartseg_tpu import geometry
 
         self._geo = geometry
         self.model = load_segmenter(artifact_dir)
         self._batcher = MicroBatcher(self._run_batch,
                                      self.model.batch_size, max_latency_ms)
+        if warmup_iters:
+            self.warmup(warmup_iters)
+
+    def warmup(self, iters: int = 10):
+        """Run the device program to steady state before serving: the
+        relayed TPU runtime charges 150-450 ms of host overhead on each
+        of the first ~8 executes of a fresh executable (CLAUDE.md), so
+        without this the first real requests see 10-25x latency."""
+        h, w = self.model.img_hw
+        zeros = np.zeros((self.model.batch_size, h, w, 3), np.uint8)
+        for _ in range(iters):
+            self.model.predict_probs(zeros)
 
     def _run_batch(self, prepped):
         xs = np.stack([p[0] for p in prepped])

@@ -784,6 +784,10 @@ class TpuSamPredictor:
             b = np.asarray(box, np.float32).reshape(2, 2) * scale
             pts += [b]
             labs += [np.asarray([2, 3], np.int32)]
+        if not pts:
+            raise ValueError(
+                "predict() needs point_coords and/or box "
+                "(SamPredictor.predict has the same requirement)")
         coords = np.concatenate(pts, axis=0)
         labels = np.concatenate(labs, axis=0)
         jc, jl = self._pad_prompts(coords, labels)

@@ -240,6 +240,10 @@ def test_predictor_interface():
                              multimask_output=False)
     np.testing.assert_array_equal(masks, m2)
 
+    # no prompts at all -> a clear error, not np.concatenate([]) noise
+    with pytest.raises(ValueError, match="point_coords and/or box"):
+        pred.predict(multimask_output=False)
+
     # feature injection (the prefetch thread does this,
     # tools/annotate.py:377-378)
     pred2 = TpuSamPredictor(variables, c)

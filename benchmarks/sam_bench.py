@@ -65,6 +65,19 @@ def main():
     def _decode(v, feats, c, l):
         return model.apply(v, feats, c, l, method=model.decode)
 
+    # the gated bf16-softmax encoder lane (SamConfig.attn_softmax_fp32=
+    # False): same params, the global blocks keep the (12,4096,4096)
+    # logits bf16 with an fp32-accumulated row sum instead of an 805 MB
+    # fp32 materialization per block
+    import dataclasses
+    model_b = Sam(dataclasses.replace(cfg, attn_softmax_fp32=False),
+                  dtype=jnp.bfloat16)
+
+    @jax.jit
+    def _encode_b(v, x):
+        return model_b.apply(v, model_b.preprocess(x),
+                             method=model_b.encode_image)
+
     rng = np.random.default_rng(0)
     x = jnp.asarray(
         rng.integers(0, 255, (1, cfg.img_size, cfg.img_size, 3), np.uint8)
@@ -78,6 +91,17 @@ def main():
     enc_ms, enc_groups = _steady_ms(lambda: _encode(var, x).sum())
     print(f"image embedding: {enc_ms:.1f} ms/img steady "
           f"(groups: {['%.0f' % g for g in enc_groups]})", flush=True)
+
+    t0 = time.time()
+    feats_b = _encode_b(var, x)
+    rel = float(jnp.abs(feats_b.astype(jnp.float32)
+                        - feats.astype(jnp.float32)).max()
+                / (jnp.abs(feats.astype(jnp.float32)).max() + 1e-9))
+    print(f"bf16-softmax encode compile+first {time.time()-t0:.1f}s "
+          f"(max rel dev vs fp32-softmax lane: {rel:.4f})", flush=True)
+    encb_ms, encb_groups = _steady_ms(lambda: _encode_b(var, x).sum())
+    print(f"image embedding (bf16 softmax): {encb_ms:.1f} ms/img steady "
+          f"(groups: {['%.0f' % g for g in encb_groups]})", flush=True)
 
     coords = jnp.asarray([[[512.0, 400.0], [0.0, 0.0]]])
     labels = jnp.asarray([[1, -1]], jnp.int32)
@@ -96,8 +120,11 @@ def main():
         "model": "SAM ViT-B (flax, bf16)",
         "params_m": round(n_params / 1e6, 1),
         "image_embedding_ms": round(enc_ms, 1),
+        "image_embedding_bf16_softmax_ms": round(encb_ms, 1),
+        "bf16_softmax_max_rel_dev": round(rel, 4),
         "prompt_decode_ms": round(dec_ms, 2),
         "embedding_groups_ms": [round(g, 1) for g in enc_groups],
+        "embedding_bf16_softmax_groups_ms": [round(g, 1) for g in encb_groups],
         "decode_groups_ms": [round(g, 2) for g in dec_groups],
         "note": ("steady-state after relay warm-up; first-execute "
                  "overhead on this runtime is 150-450 ms/call for "

@@ -2,12 +2,22 @@
 
 The exported program is the full device-side inference path: uint8
 letterboxed batch -> normalize -> model forward (eval-mode BN) ->
-sigmoid probabilities. Parameters are closed over, so `jax.export`
-bakes them into the module as constants: the artifact directory is
-deployable with ONLY jax installed (no flax / model code / checkpoint).
+sigmoid probabilities. Either way the artifact directory is deployable
+with ONLY jax (+flax's msgpack codec) installed — no model code or
+orbax checkpoint:
+
+  * embed_params=True (default): parameters are closed over and baked
+    into the module as constants — one self-contained file.
+  * embed_params=False: the program takes the variables tree as an
+    argument and the weights ship as a msgpack sidecar. Use this on
+    relayed/remote-compile runtimes: a baked resnet34@512² module
+    carries ~90 MB of literals that are re-shipped on every compile,
+    and this class of transport rejects big literal blobs outright
+    (HTTP 413 at ~375 MB — docs/ROADMAP.md SAM trap (a)).
 
 Artifact layout:
     <dir>/model.stablehlo   serialized jax.export module
+    <dir>/params.msgpack    variables tree (embed_params=False only)
     <dir>/manifest.json     encoder, img hw, batch, dtype, threshold,
                             normalization, export platforms
 
@@ -26,16 +36,15 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
-def _infer_fn(model, params, stats, mean, std):
+def _infer_fn(model, mean, std):
     import jax
     import jax.numpy as jnp
 
-    def infer(x_u8):
+    def infer(variables, x_u8):
         x = x_u8.astype(jnp.float32)
         x = (x / 255.0 - jnp.asarray(mean, jnp.float32)) \
             / jnp.asarray(std, jnp.float32)
-        logits = model.apply({"params": params, "batch_stats": stats},
-                             x, train=False)
+        logits = model.apply(variables, x, train=False)
         return jax.nn.sigmoid(logits[..., 0]).astype(jnp.float32)
 
     return infer
@@ -52,6 +61,7 @@ def export_segmenter(
     imagenet_norm: bool = False,
     compute_dtype: str = "bfloat16",
     platforms: Optional[Sequence[str]] = None,
+    embed_params: bool = True,
 ) -> Path:
     """Build the artifact from either an orbax checkpoint dir (with its
     .threshold.json sidecar) or an in-memory variables tree. Returns
@@ -83,17 +93,27 @@ def export_segmenter(
 
     mean = IMAGENET_MEAN if imagenet_norm else (0.0, 0.0, 0.0)
     std = IMAGENET_STD if imagenet_norm else (1.0, 1.0, 1.0)
-    infer = _infer_fn(model, variables["params"],
-                      variables.get("batch_stats", {}), mean, std)
+    infer = _infer_fn(model, mean, std)
+    vtree = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
     spec = jax.ShapeDtypeStruct((batch_size, img_hw[0], img_hw[1], 3),
                                 jnp.uint8)
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    exported = jexport.export(jax.jit(infer), **kwargs)(spec)
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    if embed_params:
+        fn = jax.jit(lambda x: infer(vtree, x))
+        exported = jexport.export(fn, **kwargs)(spec)
+    else:
+        from flax.serialization import msgpack_serialize
+        vspec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype), vtree)
+        exported = jexport.export(jax.jit(infer), **kwargs)(vspec, spec)
+        (out / "params.msgpack").write_bytes(msgpack_serialize(
+            jax.tree_util.tree_map(lambda a: np.asarray(a), vtree)))
     (out / "model.stablehlo").write_bytes(exported.serialize())
     (out / "manifest.json").write_text(json.dumps({
         "encoder": encoder,
@@ -103,6 +123,7 @@ def export_segmenter(
         "imagenet_norm": imagenet_norm,
         "compute_dtype": compute_dtype,
         "platforms": list(exported.platforms),
+        "embed_params": embed_params,
         "input": "uint8 [B,H,W,3] letterboxed RGB",
         "output": "float32 [B,H,W] sigmoid probabilities",
     }, indent=1))
@@ -128,6 +149,14 @@ class ServedSegmenter:
         self.batch_size = int(self.manifest["batch_size"])
         self.img_hw = tuple(self.manifest["img_hw"])
         self.threshold = float(self.manifest["threshold"])
+        self._variables = None
+        if not self.manifest.get("embed_params", True):
+            import jax
+            from flax.serialization import msgpack_restore
+
+            self._variables = jax.tree_util.tree_map(
+                jax.numpy.asarray,
+                msgpack_restore((d / "params.msgpack").read_bytes()))
 
     def predict_probs(self, batch_u8: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
@@ -139,7 +168,11 @@ class ServedSegmenter:
             pad = np.zeros((self.batch_size - n,) + batch_u8.shape[1:],
                            batch_u8.dtype)
             batch_u8 = np.concatenate([batch_u8, pad])
-        probs = self._exported.call(jnp.asarray(batch_u8, jnp.uint8))
+        x = jnp.asarray(batch_u8, jnp.uint8)
+        if self._variables is None:
+            probs = self._exported.call(x)
+        else:
+            probs = self._exported.call(self._variables, x)
         return np.asarray(probs)[:n]
 
     def segment(self, image: np.ndarray) -> np.ndarray:
@@ -172,11 +205,16 @@ def main(argv=None):
     ap.add_argument("--imagenet_norm", action="store_true")
     ap.add_argument("--threshold", type=float, default=None,
                     help="override the .threshold.json sidecar")
+    ap.add_argument("--no_embed_params", action="store_true",
+                    help="ship weights as a msgpack sidecar instead of "
+                         "baking them into the module (lean program for "
+                         "remote-compile transports)")
     args = ap.parse_args(argv)
     out = export_segmenter(
         args.out, checkpoint_dir=args.checkpoint, encoder=args.encoder,
         img_hw=(args.img, args.img), batch_size=args.batch_size,
-        threshold=args.threshold, imagenet_norm=args.imagenet_norm)
+        threshold=args.threshold, imagenet_norm=args.imagenet_norm,
+        embed_params=not args.no_embed_params)
     print(f"artifact: {out}")
     print((out / "manifest.json").read_text())
 

@@ -41,6 +41,28 @@ def test_export_roundtrip_matches_model(artifact, rng):
     np.testing.assert_allclose(probs, ref, atol=1e-5)
 
 
+def test_sidecar_params_export_matches_embedded(artifact, rng,
+                                                tmp_path):
+    """embed_params=False ships weights as params.msgpack and a lean
+    program; outputs must match the baked-constants artifact exactly."""
+    d, model, variables = artifact
+    d2 = tmp_path / "lean"
+    export_segmenter(d2, variables=variables, encoder="resnet18",
+                     img_hw=(64, 64), batch_size=4, threshold=0.4,
+                     compute_dtype="float32", embed_params=False)
+    assert (d2 / "params.msgpack").exists()
+    lean = (d2 / "model.stablehlo").stat().st_size
+    baked = (d / "model.stablehlo").stat().st_size
+    assert lean < baked / 2, (lean, baked)
+
+    a, b = load_segmenter(d), load_segmenter(d2)
+    x = rng.integers(0, 255, (4, 64, 64, 3)).astype(np.uint8)
+    # constants-vs-arguments programs constant-fold differently; XLA
+    # guarantees the math, not the bit pattern — observed max |Δ| 1 ULP
+    np.testing.assert_allclose(a.predict_probs(x),
+                               b.predict_probs(x), atol=1e-6)
+
+
 def test_ragged_batch_padding(artifact, rng):
     d, model, variables = artifact
     served = load_segmenter(d)

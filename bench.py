@@ -24,7 +24,9 @@ BASELINE_CACHE = HERE / "BENCH_BASELINE.json"
 
 IMG = 224
 BATCH = 128  # amortizes the ~19ms fixed launch overhead of the relayed runtime
-WARMUP_STEPS = 3
+# the relay charges extra host overhead on the first ~8 executes of a
+# fresh executable (CLAUDE.md); warm past it so the window is steady-state
+WARMUP_STEPS = 10
 MEASURE_STEPS = 30
 
 

@@ -103,6 +103,28 @@ def main():
     print(f"image embedding (bf16 softmax): {encb_ms:.1f} ms/img steady "
           f"(groups: {['%.0f' % g for g in encb_groups]})", flush=True)
 
+    # flash-attention lane: global blocks through the Pallas kernel
+    # (ops/pallas/flash_attention.py), fp32 online softmax
+    model_f = Sam(dataclasses.replace(cfg, global_attn_flash=True),
+                  dtype=jnp.bfloat16)
+
+    @jax.jit
+    def _encode_f(v, xx):
+        return model_f.apply(v, model_f.preprocess(xx),
+                             method=model_f.encode_image)
+
+    t0 = time.time()
+    feats_f = _encode_f(var, x)
+    rel_f = float(jnp.abs(feats_f.astype(jnp.float32)
+                          - feats.astype(jnp.float32)).max()
+                  / (jnp.abs(feats.astype(jnp.float32)).max() + 1e-9))
+    print(f"flash encode compile+first {time.time()-t0:.1f}s "
+          f"(max rel dev vs fp32-softmax lane: {rel_f:.4f})", flush=True)
+    encf_ms, encf_groups = _steady_ms(lambda: _encode_f(var, x).sum())
+    print(f"image embedding (flash global attn): {encf_ms:.1f} ms/img "
+          f"steady (groups: {['%.0f' % g for g in encf_groups]})",
+          flush=True)
+
     coords = jnp.asarray([[[512.0, 400.0], [0.0, 0.0]]])
     labels = jnp.asarray([[1, -1]], jnp.int32)
     t0 = time.time()
@@ -121,10 +143,13 @@ def main():
         "params_m": round(n_params / 1e6, 1),
         "image_embedding_ms": round(enc_ms, 1),
         "image_embedding_bf16_softmax_ms": round(encb_ms, 1),
+        "image_embedding_flash_ms": round(encf_ms, 1),
         "bf16_softmax_max_rel_dev": round(rel, 4),
+        "flash_max_rel_dev": round(rel_f, 4),
         "prompt_decode_ms": round(dec_ms, 2),
         "embedding_groups_ms": [round(g, 1) for g in enc_groups],
         "embedding_bf16_softmax_groups_ms": [round(g, 1) for g in encb_groups],
+        "embedding_flash_groups_ms": [round(g, 1) for g in encf_groups],
         "decode_groups_ms": [round(g, 2) for g in dec_groups],
         "note": ("steady-state after relay warm-up; first-execute "
                  "overhead on this runtime is 150-450 ms/call for "

@@ -84,6 +84,11 @@ class SamConfig:
     # fp32-accumulated row sum -- measured quality/speed in
     # docs/sam_bench.json before flipping any default.
     attn_softmax_fp32: bool = True
+    # route the global blocks through the Pallas flash-attention kernel
+    # (ops/pallas/flash_attention.py): never materializes the
+    # (12, 4096, 4096) logits; fp32 online softmax (official numerics).
+    # Inference-only (fwd kernel, no VJP) -- measured before defaulting.
+    global_attn_flash: bool = False
 
     @property
     def embed_hw(self) -> int:
@@ -130,6 +135,7 @@ class ViTAttention(nn.Module):
     input_size: int           # H == W of the grid this block attends over
     dtype: jnp.dtype = jnp.float32
     softmax_fp32: bool = True
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -140,11 +146,33 @@ class ViTAttention(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(
             3, b * self.num_heads, h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q * (head_dim ** -0.5)) @ k.transpose(0, 2, 1)
         rel_h = self.param("rel_pos_h", nn.initializers.zeros,
                            (2 * self.input_size - 1, head_dim))
         rel_w = self.param("rel_pos_w", nn.initializers.zeros,
                            (2 * self.input_size - 1, head_dim))
+
+        from cartseg_tpu.ops.pallas import flash_attention as fa
+
+        if (self.use_flash and h == w == self.input_size
+                and fa.supported(h, h * w, head_dim)):
+            # same two small einsum factors the XLA lane computes; the
+            # kernel rebuilds the (S, S) bias from them on the fly
+            bnh = q.shape[0]
+            r_q = q.reshape(bnh, h, w, head_dim)
+            rh = _get_rel_pos(h, h, rel_h.astype(q.dtype))
+            rw = _get_rel_pos(w, w, rel_w.astype(q.dtype))
+            rel_hf = jnp.einsum("bhwc,hkc->bhwk", r_q, rh).reshape(
+                bnh, h * w, h)
+            rel_wf = jnp.einsum("bhwc,wkc->bhwk", r_q, rw).reshape(
+                bnh, h * w, w)
+            out = fa.flash_attention_relpos(
+                q, k, v, rel_hf, rel_wf,
+                scale=head_dim ** -0.5, grid_size=h)
+            out = out.reshape(b, self.num_heads, h, w, head_dim)
+            out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, self.dim)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+        attn = (q * (head_dim ** -0.5)) @ k.transpose(0, 2, 1)
         attn = _add_decomposed_rel_pos(
             attn, q, rel_h.astype(attn.dtype), rel_w.astype(attn.dtype),
             (h, w))
@@ -193,6 +221,7 @@ class ViTBlock(nn.Module):
     grid_size: int            # full embedding grid (img/patch)
     dtype: jnp.dtype = jnp.float32
     softmax_fp32: bool = True
+    use_flash: bool = False   # global blocks only
 
     @nn.compact
     def __call__(self, x):
@@ -206,6 +235,7 @@ class ViTBlock(nn.Module):
             attn_size = self.grid_size
         y = ViTAttention(self.dim, self.num_heads, attn_size,
                          dtype=self.dtype, softmax_fp32=self.softmax_fp32,
+                         use_flash=self.use_flash and self.window_size == 0,
                          name="attn")(y)
         if self.window_size > 0:
             y = _window_unpartition(y, self.window_size, pad_hw, (h, w))
@@ -238,6 +268,7 @@ class ImageEncoderViT(nn.Module):
             y = ViTBlock(c.encoder_dim, c.encoder_heads, c.encoder_mlp_ratio,
                          win, g, dtype=self.dtype,
                          softmax_fp32=c.attn_softmax_fp32,
+                         use_flash=c.global_attn_flash,
                          name=f"block{i}")(y)
         y = nn.Conv(c.prompt_dim, (1, 1), use_bias=False, dtype=self.dtype,
                     name="neck_conv1")(y)

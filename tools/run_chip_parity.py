@@ -324,6 +324,54 @@ def main():
     assert np.isfinite(float(jnp.sum(fb)))
     print("[smoke] SAM ok", flush=True)
 
+    # ---- flash-attention kernel: compiled-Mosaic parity vs the XLA
+    # attention at the real ViT-B global-block geometry (g=64, hd=64)
+    print("[kernel] flash_attention_relpos ...", flush=True)
+    from cartseg_tpu.ops.pallas.flash_attention import (
+        flash_attention_relpos,
+    )
+    g_fa, hd_fa, bnh_fa = 64, 64, 12
+    S_fa = g_fa * g_fa
+    ks = jax.random.split(jax.random.key(11), 5)
+    fa_q = jax.random.normal(ks[0], (bnh_fa, S_fa, hd_fa), jnp.bfloat16)
+    fa_k = jax.random.normal(ks[1], (bnh_fa, S_fa, hd_fa), jnp.bfloat16)
+    fa_v = jax.random.normal(ks[2], (bnh_fa, S_fa, hd_fa), jnp.bfloat16)
+    fa_rh = (0.5 * jax.random.normal(ks[3], (bnh_fa, S_fa, g_fa),
+                                     jnp.bfloat16))
+    fa_rw = (0.5 * jax.random.normal(ks[4], (bnh_fa, S_fa, g_fa),
+                                     jnp.bfloat16))
+
+    def _fa_oracle(q, k, v, rh, rw):
+        logits = (q.astype(jnp.float32) * (hd_fa ** -0.5)) @ jnp.swapaxes(
+            k.astype(jnp.float32), 1, 2)
+        bias = (rh.astype(jnp.float32)[:, :, :, None]
+                + rw.astype(jnp.float32)[:, :, None, :])
+        a = jax.nn.softmax(logits + bias.reshape(logits.shape), axis=-1)
+        return a @ v.astype(jnp.float32)
+
+    fa_out = flash_attention_relpos(fa_q, fa_k, fa_v, fa_rh, fa_rw,
+                                    scale=hd_fa ** -0.5, grid_size=g_fa)
+    fa_ref = jax.jit(_fa_oracle)(fa_q, fa_k, fa_v, fa_rh, fa_rw)
+    fa_rel = float(jnp.abs(fa_out.astype(jnp.float32) - fa_ref).max()
+                   / (jnp.abs(fa_ref).max() + 1e-9))
+    assert fa_rel < 0.03, f"flash attention parity {fa_rel}"
+    fa_args = (fa_q, fa_k, fa_v, fa_rh, fa_rw)
+    t_pal = _time_scalar_loop(
+        lambda q, k, v, rh, rw: jnp.sum(flash_attention_relpos(
+            q, k, v, rh, rw, scale=hd_fa ** -0.5, grid_size=g_fa)
+            .astype(jnp.float32)),
+        fa_args, k=10)
+    t_xla_fa = _time_scalar_loop(
+        lambda q, k, v, rh, rw: jnp.sum(_fa_oracle(q, k, v, rh, rw)),
+        fa_args, k=10)
+    rows.append(dict(kernel="flash_attn(SAM global relpos)",
+                     shape=f"({bnh_fa},{S_fa},{hd_fa}) bf16",
+                     max_err_fwd=fa_rel, max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal * 1e3, xla_fwd_ms=t_xla_fa * 1e3,
+                     fwd_speedup=t_xla_fa / t_pal))
+    print(f"[kernel] flash attention: {t_pal*1e3:.2f} ms vs XLA "
+          f"{t_xla_fa*1e3:.2f} ms (rel dev {fa_rel:.4f})", flush=True)
+
     # ---- report
     report = dict(date=str(date.today()), device=str(dev),
                   backend=backend, k_iters=K_ITERS,

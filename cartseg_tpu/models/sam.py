@@ -356,7 +356,10 @@ class DecoderAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, key_mask=None):
+        """key_mask: optional (B, Nk) bool — False keys are excluded
+        from the softmax (used to make jit-bucket prompt padding
+        attention-neutral, see TpuSamPredictor._pad_prompts)."""
         inner = self.dim // self.downsample_rate
         head_dim = inner // self.num_heads
         q = nn.Dense(inner, dtype=self.dtype, name="q_proj")(q)
@@ -370,7 +373,10 @@ class DecoderAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         attn = (q / math.sqrt(head_dim)) @ k.transpose(0, 1, 3, 2)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(jnp.float32)
+        if key_mask is not None:
+            attn = jnp.where(key_mask[:, None, None, :], attn, -1e9)
+        attn = jax.nn.softmax(attn, axis=-1)
         out = attn.astype(v.dtype) @ v
         b, nh, n, hd = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, nh * hd)
@@ -385,36 +391,45 @@ class TwoWayAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, queries, keys, query_pe, key_pe):
+    def __call__(self, queries, keys, query_pe, key_pe, token_mask=None):
+        # Decoder LayerNorms use torch nn.LayerNorm's default eps=1e-5
+        # (official TwoWayTransformer), unlike the encoder/neck which
+        # explicitly pass eps=1e-6 (ADVICE r2 low).
         if self.skip_first_layer_pe:
             queries = DecoderAttention(
                 self.dim, self.num_heads, dtype=self.dtype,
-                name="self_attn")(queries, queries, queries)
+                name="self_attn")(queries, queries, queries,
+                                  key_mask=token_mask)
         else:
             q = queries + query_pe
             queries = queries + DecoderAttention(
                 self.dim, self.num_heads, dtype=self.dtype,
-                name="self_attn")(q, q, queries)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm1")(queries)
+                name="self_attn")(q, q, queries, key_mask=token_mask)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
         queries = queries + DecoderAttention(
             self.dim, self.num_heads, 2, dtype=self.dtype,
             name="cross_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm2")(queries)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name="norm2")(queries)
 
         y = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_lin1")(queries)
         y = nn.relu(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_lin2")(y)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm3")(queries + y)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name="norm3")(queries + y)
 
         q = queries + query_pe
         k = keys + key_pe
         keys = keys + DecoderAttention(
             self.dim, self.num_heads, 2, dtype=self.dtype,
-            name="cross_attn_image_to_token")(k, q, queries)
-        keys = nn.LayerNorm(dtype=self.dtype, name="norm4")(keys)
+            name="cross_attn_image_to_token")(k, q, queries,
+                                              key_mask=token_mask)
+        keys = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                            name="norm4")(keys)
         return queries, keys
 
 
@@ -423,9 +438,12 @@ class TwoWayTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, image_embedding, image_pe, point_embedding):
+    def __call__(self, image_embedding, image_pe, point_embedding,
+                 token_mask=None):
         """image_embedding/image_pe: (B, g, g, C); point_embedding:
-        (B, N, C). Returns (queries (B,N,C), keys (B,g*g,C))."""
+        (B, N, C); token_mask: optional (B, N) bool, False = jit-bucket
+        pad token to exclude from attention. Returns
+        (queries (B,N,C), keys (B,g*g,C))."""
         c = self.cfg
         b, g1, g2, ch = image_embedding.shape
         keys = image_embedding.reshape(b, g1 * g2, ch)
@@ -436,14 +454,15 @@ class TwoWayTransformer(nn.Module):
             queries, keys = TwoWayAttentionBlock(
                 c.prompt_dim, c.decoder_heads, c.decoder_mlp_dim,
                 skip_first_layer_pe=(i == 0), dtype=self.dtype,
-                name=f"layer{i}")(queries, keys, point_embedding, key_pe)
+                name=f"layer{i}")(queries, keys, point_embedding, key_pe,
+                                  token_mask=token_mask)
         q = queries + point_embedding
         k = keys + key_pe
         queries = queries + DecoderAttention(
             c.prompt_dim, c.decoder_heads, 2, dtype=self.dtype,
             name="final_attn_token_to_image")(q, k, keys)
-        queries = nn.LayerNorm(dtype=self.dtype, name="norm_final_attn")(
-            queries)
+        queries = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                               name="norm_final_attn")(queries)
         return queries, keys
 
 
@@ -453,9 +472,12 @@ class MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt,
-                 dense_prompt):
+                 dense_prompt, prompt_mask=None):
         """image_embeddings: (B, g, g, C) (already per-prompt-batch),
-        sparse_prompt: (B, N, C), dense_prompt: (B, g, g, C).
+        sparse_prompt: (B, N, C), dense_prompt: (B, g, g, C),
+        prompt_mask: optional (B, N) bool — False marks jit-bucket pad
+        prompt tokens that must be attention-neutral (the iou/mask
+        output tokens are always valid).
         Returns (masks (B, num_mask_tokens, 4g, 4g), iou (B, tokens))."""
         c = self.cfg
         d = c.prompt_dim
@@ -470,9 +492,13 @@ class MaskDecoder(nn.Module):
         tokens = jnp.concatenate(
             [out_tokens, sparse_prompt.astype(out_tokens.dtype)], axis=1)
 
+        token_mask = None
+        if prompt_mask is not None:
+            token_mask = jnp.concatenate(
+                [jnp.ones((b, 1 + nm), bool), prompt_mask], axis=1)
         src = image_embeddings + dense_prompt
         hs, src = TwoWayTransformer(c, dtype=self.dtype, name="transformer")(
-            src, image_pe, tokens)
+            src, image_pe, tokens, token_mask=token_mask)
         iou_out = hs[:, 0]
         mask_out = hs[:, 1:1 + nm]
 
@@ -539,13 +565,19 @@ class Sam(nn.Module):
     def encode_image(self, x):
         return self.image_encoder(x)
 
-    def decode(self, features, coords, labels):
+    def decode(self, features, coords, labels, prompt_mask=None):
+        """prompt_mask: optional (B, N) bool — False = jit-bucket pad
+        token, excluded from attention so the output is bit-identical
+        to running the un-padded prompt list (the official predictor's
+        single label=-1 pad point, appended iff no box, is a REAL
+        attended token and must be passed with mask True)."""
         sparse = self.prompt_encoder.embed_points(coords, labels)
         dense = self.prompt_encoder.dense_no_mask(coords.shape[0])
         pe = self.prompt_encoder.dense_pe()
         feats = jnp.broadcast_to(
             features, (coords.shape[0],) + features.shape[1:])
-        return self.mask_decoder(feats, pe, sparse, dense)
+        return self.mask_decoder(feats, pe, sparse, dense,
+                                 prompt_mask=prompt_mask)
 
     def __call__(self, x, coords, labels):
         feats = self.encode_image(self.preprocess(x))
@@ -595,8 +627,17 @@ def convert_torch_sam(state_dict, cfg: Optional[SamConfig] = None) -> dict:
         return out
 
     def convT(prefix):
-        return {"kernel": _t(sd[f"{prefix}.weight"].transpose(2, 3, 0, 1)),
-                "bias": _t(sd[f"{prefix}.bias"])}
+        # torch ConvTranspose2d scatters: out[y*s+dy, x*s+dx] +=
+        # in[y,x] * w[in, out, dy, dx] — the *gradient* of a conv.
+        # flax nn.ConvTranspose (transpose_kernel=False) instead runs a
+        # plain correlation over the zero-dilated input, so the torch
+        # weight needs its spatial dims FLIPPED on top of the
+        # (in,out,kh,kw)->(kh,kw,in,out) relayout; without the flip a
+        # 2x2-stride-2 upscaler scrambles every 2x2 output block
+        # (ADVICE r2 high; oracle test tests/test_sam.py::
+        # test_convtranspose_matches_torch_oracle).
+        w = sd[f"{prefix}.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]
+        return {"kernel": _t(w), "bias": _t(sd[f"{prefix}.bias"])}
 
     def ln(prefix):
         return {"scale": _t(sd[f"{prefix}.weight"]),
@@ -739,7 +780,7 @@ class TpuSamPredictor:
     jitted TPU programs; prompt counts are padded to a small fixed set
     of sizes so jit signatures stay stable (CLAUDE.md)."""
 
-    _PAD_SIZES = (2, 4, 8, 16)
+    _PAD_SIZES = (2, 4, 8, 16, 32, 64)
 
     def __init__(self, variables: dict, cfg: Optional[SamConfig] = None,
                  dtype=jnp.float32):
@@ -764,12 +805,13 @@ class TpuSamPredictor:
                              method=mdl.encode_image)
 
         @jax.jit
-        def _decode(v, features, coords, labels):
-            return mdl.apply(v, features, coords, labels,
+        def _decode(v, features, coords, labels, prompt_mask):
+            return mdl.apply(v, features, coords, labels, prompt_mask,
                              method=mdl.decode)
 
         self._encode = lambda x: _encode(self.variables, x)
-        self._decode = lambda f, c, l: _decode(self.variables, f, c, l)
+        self._decode = lambda f, c, l, m: _decode(
+            self.variables, f, c, l, m)
 
     # --- SamPredictor API
     def set_image(self, image_rgb: np.ndarray):
@@ -789,13 +831,33 @@ class TpuSamPredictor:
         return self.features
 
     def _pad_prompts(self, coords: np.ndarray, labels: np.ndarray):
+        """Pad the real token list to a jit-bucket size. Real tokens
+        (mask True) reproduce the official predictor exactly — the
+        caller has already appended the official single label=-1 pad
+        point iff no box was given; everything past `n` is a bucket
+        filler excluded from attention via the mask, so the decoder
+        output is invariant to the bucket size (tests/test_sam.py::
+        test_bucket_padding_is_attention_neutral)."""
         n = len(labels)
-        size = next((s for s in self._PAD_SIZES if s >= n), n)
+        size = next((s for s in self._PAD_SIZES if s >= n), None)
+        if size is None:
+            # beyond the ladder: round up to the next multiple of the
+            # top rung so a long annotation session recompiles at most
+            # once every 64 clicks instead of on every click
+            top = self._PAD_SIZES[-1]
+            size = ((n + top - 1) // top) * top
+            import warnings
+            warnings.warn(
+                f"{n} prompt tokens exceeds the compiled pad ladder "
+                f"(max {top}); padding to {size} — expect a one-off "
+                "recompile (20-450 s on the relayed runtime)")
         pc = np.zeros((1, size, 2), np.float32)
         pl = np.full((1, size), -1, np.int32)
+        pm = np.zeros((1, size), bool)
         pc[0, :n] = coords
         pl[0, :n] = labels
-        return jnp.asarray(pc), jnp.asarray(pl)
+        pm[0, :n] = True
+        return jnp.asarray(pc), jnp.asarray(pl), jnp.asarray(pm)
 
     def predict(self, point_coords=None, point_labels=None, box=None,
                 mask_input=None, multimask_output: bool = True,
@@ -811,18 +873,25 @@ class TpuSamPredictor:
         if point_coords is not None:
             pts += [np.asarray(point_coords, np.float32) * scale]
             labs += [np.asarray(point_labels, np.int32)]
-        if box is not None:
+        if box is None:
+            # official PromptEncoder._embed_points(pad=True): exactly
+            # one REAL (0,0)/label=-1 pad point is appended iff no box
+            # is given (and none when a box is present) — it is
+            # attended like any other token, unlike our bucket fillers
+            pts += [np.zeros((1, 2), np.float32)]
+            labs += [np.asarray([-1], np.int32)]
+        else:
             b = np.asarray(box, np.float32).reshape(2, 2) * scale
             pts += [b]
             labs += [np.asarray([2, 3], np.int32)]
-        if not pts:
+        if point_coords is None and box is None:
             raise ValueError(
                 "predict() needs point_coords and/or box "
                 "(SamPredictor.predict has the same requirement)")
         coords = np.concatenate(pts, axis=0)
         labels = np.concatenate(labs, axis=0)
-        jc, jl = self._pad_prompts(coords, labels)
-        masks, iou = self._decode(self.features, jc, jl)
+        jc, jl, jm = self._pad_prompts(coords, labels)
+        masks, iou = self._decode(self.features, jc, jl, jm)
 
         masks = self._postprocess(masks)
         iou = np.asarray(iou)[0]

@@ -287,6 +287,290 @@ def test_vit_b_default_config_param_count():
     assert total == 93_735_728, total
 
 
+def test_convtranspose_matches_torch_oracle():
+    """The converter's ConvTranspose2d mapping must reproduce torch's
+    scatter semantics exactly — torch convT is the *gradient* of a
+    conv, while flax nn.ConvTranspose(transpose_kernel=False) runs a
+    correlation over the dilated input, so the spatial dims must be
+    flipped during conversion (ADVICE r2 high: without the flip every
+    2x2 output block is internally scrambled and shape-only tests
+    pass)."""
+    torch = pytest.importorskip("torch")
+    import flax.linen as fnn
+
+    c = SMALL
+    sd = _synthetic_sd(c)
+    converted = convert_torch_sam(sd, c)
+    pd = c.prompt_dim
+    w = sd["mask_decoder.output_upscaling.0.weight"]   # (in, out, 2, 2)
+    b = sd["mask_decoder.output_upscaling.0.bias"]
+
+    mod = torch.nn.ConvTranspose2d(pd, pd // 4, 2, stride=2)
+    with torch.no_grad():
+        mod.weight.copy_(torch.from_numpy(w))
+        mod.bias.copy_(torch.from_numpy(b))
+    x = np.random.default_rng(3).normal(size=(2, 5, 5, pd)).astype(
+        np.float32)
+    ref = mod(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ref = ref.detach().numpy().transpose(0, 2, 3, 1)
+
+    p = converted["params"]["mask_decoder"]["upscale_conv1"]
+    y = fnn.ConvTranspose(pd // 4, (2, 2), strides=(2, 2)).apply(
+        {"params": p}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=1e-5)
+
+
+def _torch_mask_decoder_oracle(sd, c, feats_nchw, pe_nchw, sparse,
+                               dense_nchw):
+    """Functional torch re-statement of the official MaskDecoder +
+    TwoWayTransformer forward (segment_anything modeling semantics:
+    torch nn.LayerNorm eps=1e-5 in the transformer, LayerNorm2d
+    eps=1e-6 in output_upscaling, exact GELU, attention scaled after
+    the q@k^T matmul). Used as the numeric oracle for the flax
+    MaskDecoder at converted weights."""
+    import math as _math
+
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+
+    def lin(x, p):
+        return F.linear(x, t[f"{p}.weight"], t[f"{p}.bias"])
+
+    def lnorm(x, p):
+        return F.layer_norm(x, x.shape[-1:], t[f"{p}.weight"],
+                            t[f"{p}.bias"], eps=1e-5)
+
+    def attention(q, k, v, p, downsample):
+        heads = c.decoder_heads
+        q, k, v = lin(q, f"{p}.q_proj"), lin(k, f"{p}.k_proj"), \
+            lin(v, f"{p}.v_proj")
+        hd = (c.prompt_dim // downsample) // heads
+
+        def sep(x):
+            b, n, ch = x.shape
+            return x.reshape(b, n, heads, ch // heads).transpose(1, 2)
+
+        q, k, v = sep(q), sep(k), sep(v)
+        attn = q @ k.permute(0, 1, 3, 2)
+        attn = torch.softmax(attn / _math.sqrt(hd), dim=-1)
+        out = (attn @ v).transpose(1, 2).flatten(2)
+        return lin(out, f"{p}.out_proj")
+
+    def block(queries, keys, qpe, kpe, p, skip_first):
+        if skip_first:
+            queries = attention(queries, queries, queries,
+                                f"{p}.self_attn", 1)
+        else:
+            q = queries + qpe
+            queries = queries + attention(q, q, queries,
+                                          f"{p}.self_attn", 1)
+        queries = lnorm(queries, f"{p}.norm1")
+        q, k = queries + qpe, keys + kpe
+        queries = queries + attention(
+            q, k, keys, f"{p}.cross_attn_token_to_image", 2)
+        queries = lnorm(queries, f"{p}.norm2")
+        y = F.relu(lin(queries, f"{p}.mlp.lin1"))
+        queries = lnorm(queries + lin(y, f"{p}.mlp.lin2"), f"{p}.norm3")
+        q, k = queries + qpe, keys + kpe
+        keys = keys + attention(
+            k, q, queries, f"{p}.cross_attn_image_to_token", 2)
+        return queries, lnorm(keys, f"{p}.norm4")
+
+    feats = torch.from_numpy(feats_nchw)
+    pe = torch.from_numpy(pe_nchw)
+    dense = torch.from_numpy(dense_nchw)
+    sparse_t = torch.from_numpy(sparse)
+    b = sparse_t.shape[0]
+    nm = c.num_mask_tokens
+
+    out_tokens = torch.cat(
+        [t["mask_decoder.iou_token.weight"],
+         t["mask_decoder.mask_tokens.weight"]], dim=0)
+    tokens = torch.cat(
+        [out_tokens.unsqueeze(0).expand(b, -1, -1), sparse_t], dim=1)
+
+    src = feats + dense
+    bb, ch, h, w = src.shape
+    keys = src.flatten(2).permute(0, 2, 1)
+    kpe = pe.flatten(2).permute(0, 2, 1).expand(b, -1, -1)
+    queries = tokens
+    tr = "mask_decoder.transformer"
+    for i in range(c.decoder_depth):
+        queries, keys = block(queries, keys, tokens, kpe,
+                              f"{tr}.layers.{i}", i == 0)
+    q, k = queries + tokens, keys + kpe
+    queries = queries + attention(
+        q, k, keys, f"{tr}.final_attn_token_to_image", 2)
+    hs = lnorm(queries, f"{tr}.norm_final_attn")
+
+    iou_out, mask_out = hs[:, 0], hs[:, 1:1 + nm]
+    src = keys.transpose(1, 2).reshape(b, ch, h, w)
+
+    def conv_t(x, p):
+        return F.conv_transpose2d(x, t[f"{p}.weight"], t[f"{p}.bias"],
+                                  stride=2)
+
+    def ln2d(x, p):
+        u = x.mean(1, keepdim=True)
+        s = ((x - u) ** 2).mean(1, keepdim=True)
+        x = (x - u) / torch.sqrt(s + 1e-6)
+        return (t[f"{p}.weight"][:, None, None] * x
+                + t[f"{p}.bias"][:, None, None])
+
+    up = conv_t(src, "mask_decoder.output_upscaling.0")
+    up = F.gelu(ln2d(up, "mask_decoder.output_upscaling.1"))
+    up = F.gelu(conv_t(up, "mask_decoder.output_upscaling.3"))
+
+    hyper = []
+    for i in range(nm):
+        x = mask_out[:, i]
+        p = f"mask_decoder.output_hypernetworks_mlps.{i}"
+        x = F.relu(lin(x, f"{p}.layers.0"))
+        x = F.relu(lin(x, f"{p}.layers.1"))
+        hyper.append(lin(x, f"{p}.layers.2"))
+    hyper_in = torch.stack(hyper, dim=1)
+    bu, cu, hu, wu = up.shape
+    masks = (hyper_in @ up.flatten(2)).reshape(b, nm, hu, wu)
+
+    x = iou_out
+    x = F.relu(lin(x, "mask_decoder.iou_prediction_head.layers.0"))
+    x = F.relu(lin(x, "mask_decoder.iou_prediction_head.layers.1"))
+    iou = lin(x, "mask_decoder.iou_prediction_head.layers.2")
+    return masks.numpy(), iou.numpy()
+
+
+def test_mask_decoder_matches_torch_oracle():
+    """End-to-end MaskDecoder parity at converted weights vs the torch
+    oracle above — catches layout/flip bugs (convT), LayerNorm eps, and
+    attention semantics that shape-only tests cannot see."""
+    pytest.importorskip("torch")
+    from cartseg_tpu.models.sam import MaskDecoder
+
+    c = SMALL
+    sd = _synthetic_sd(c)
+    converted = convert_torch_sam(sd, c)
+    g, pd = c.embed_hw, c.prompt_dim
+    rng = np.random.default_rng(7)
+    feats = rng.normal(size=(1, g, g, pd)).astype(np.float32)
+    pe = rng.normal(size=(1, g, g, pd)).astype(np.float32)
+    sparse = rng.normal(size=(1, 3, pd)).astype(np.float32)
+    dense = rng.normal(size=(1, g, g, pd)).astype(np.float32)
+
+    md = MaskDecoder(c)
+    masks, iou = md.apply(
+        {"params": converted["params"]["mask_decoder"]},
+        jnp.asarray(feats), jnp.asarray(pe), jnp.asarray(sparse),
+        jnp.asarray(dense))
+
+    ref_masks, ref_iou = _torch_mask_decoder_oracle(
+        sd, c, feats.transpose(0, 3, 1, 2), pe.transpose(0, 3, 1, 2),
+        sparse, dense.transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(masks), ref_masks,
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(iou), ref_iou,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_bucket_padding_is_attention_neutral():
+    """Sam.decode with bucket-padded prompts + mask must equal the
+    un-padded decode bit-for-bit in effect (ADVICE r2 medium: pad
+    tokens may not perturb the softmax the way round-2's attended
+    fillers did)."""
+    c = SMALL
+    model, variables = _init_variables(c)
+    g = c.embed_hw
+    feats = jnp.asarray(np.random.default_rng(5).normal(
+        size=(1, g, g, c.prompt_dim)).astype(np.float32))
+    coords = np.array([[[10.0, 12.0], [30.0, 20.0], [0.0, 0.0]]],
+                      np.float32)
+    labels = np.array([[1, 0, -1]], np.int32)
+
+    exact_m, exact_i = model.apply(
+        variables, feats, jnp.asarray(coords), jnp.asarray(labels),
+        method=model.decode)
+
+    size = 8
+    pc = np.zeros((1, size, 2), np.float32)
+    pl = np.full((1, size), -1, np.int32)
+    pm = np.zeros((1, size), bool)
+    pc[0, :3], pl[0, :3], pm[0, :3] = coords[0], labels[0], True
+    # filler coords deliberately junk: the mask must make them inert
+    pc[0, 3:] = 1e3
+    pad_m, pad_i = model.apply(
+        variables, feats, jnp.asarray(pc), jnp.asarray(pl),
+        jnp.asarray(pm), method=model.decode)
+
+    np.testing.assert_allclose(np.asarray(pad_m), np.asarray(exact_m),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pad_i), np.asarray(exact_i),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_predictor_official_token_counts():
+    """TpuSamPredictor must reproduce the official SamPredictor's token
+    list exactly: points + ONE real label=-1 pad iff no box; points +
+    2 box corners and NO pad when a box is given (ADVICE r2 medium)."""
+    c = SMALL
+    _, variables = _init_variables(c)
+    pred = TpuSamPredictor(variables, c)
+    img = np.zeros((40, 60, 3), np.uint8)
+    pred.set_image(img)
+
+    captured = {}
+    orig = pred._decode
+
+    def spy(f, coords, labs, mask):
+        captured["labels"] = np.asarray(labs)
+        captured["mask"] = np.asarray(mask)
+        return orig(f, coords, labs, mask)
+
+    pred._decode = spy
+
+    pred.predict(point_coords=np.array([[10, 10]]),
+                 point_labels=np.array([1]), multimask_output=False)
+    assert captured["mask"].sum() == 2          # point + official pad
+    assert captured["labels"][0, 0] == 1
+    assert captured["labels"][0, 1] == -1       # the real pad token
+
+    pred.predict(point_coords=np.array([[10, 10]]),
+                 point_labels=np.array([1]),
+                 box=np.array([5, 5, 30, 30]), multimask_output=False)
+    assert captured["mask"].sum() == 3          # point + 2 corners
+    assert list(captured["labels"][0, :3]) == [1, 2, 3]
+
+    pred.predict(box=np.array([5, 5, 30, 30]), multimask_output=False)
+    assert captured["mask"].sum() == 2          # corners only, no pad
+    assert list(captured["labels"][0, :2]) == [2, 3]
+
+
+def test_pad_ladder_long_sessions():
+    """17 accumulated clicks must reuse the 32 bucket (one compiled
+    signature), and past the top rung the predictor rounds up to the
+    next multiple of 64 with a warning instead of recompiling per
+    click (VERDICT r2 weak #5)."""
+    c = SMALL
+    _, variables = _init_variables(c)
+    pred = TpuSamPredictor(variables, c)
+
+    def size_for(n):
+        coords = np.zeros((n, 2), np.float32)
+        labels = np.ones((n,), np.int32)
+        jc, jl, jm = pred._pad_prompts(coords, labels)
+        assert jm.sum() == n
+        return jc.shape[1]
+
+    assert size_for(17) == 32
+    assert size_for(18) == 32       # 17 clicks + official pad token
+    assert size_for(33) == 64
+    assert size_for(64) == 64
+    with pytest.warns(UserWarning, match="pad ladder"):
+        assert size_for(70) == 128
+    with pytest.warns(UserWarning, match="pad ladder"):
+        assert size_for(129) == 192
+
+
 def test_bf16_softmax_matches_fp32_reference():
     """attn_softmax_fp32=False (bf16 logits, fp32-accumulated row sum)
     must track the official fp32-softmax numerics closely enough for

@@ -5,7 +5,7 @@ artifacts of create_pseudo_labels.py:
   * weighted ensemble sigma-mean + flip TTA on device
   * QC gates (:146-151, 191-197): fg_area in [0.005, 0.60],
     fg_conf >= 0.65, mean_entropy <= 0.35, TTA IoU >= 0.75,
-    edge-hit >= 0.10 (Sobel-based on device)
+    edge-hit >= 0.10 (device Canny by default; Sobel fallback lane)
   * connected-component cleanup with min_area = 0.1% of the frame
     (:124-138, 226-228) — on-device CC
   * accepted/uncertain routing, hard-mask PNG + fp16 soft-prob npz +

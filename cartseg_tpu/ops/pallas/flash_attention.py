@@ -48,6 +48,15 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
     lanes = kb_rows * g
     n_kb = k_ref.shape[1] // lanes
 
+    # rel_w repeats across the kb_rows grid rows of every K tile —
+    # hoisted out of the loop. E spreads the selected rel_h columns
+    # over their g-lane groups: E[j, l] = 1 iff l // g == j (constant).
+    rw_tiled = rw if kb_rows == 1 else jnp.concatenate([rw] * kb_rows,
+                                                       axis=1)
+    e_row = jax.lax.broadcasted_iota(jnp.int32, (kb_rows, lanes), 0)
+    e_lane = jax.lax.broadcasted_iota(jnp.int32, (kb_rows, lanes), 1)
+    E = (e_lane // g == e_row).astype(jnp.float32)    # (kb_rows, lanes)
+
     def body(kb, carry):
         m, l, acc = carry
         kt = k_ref[0, pl.ds(kb * lanes, lanes), :]    # (lanes, hd)
@@ -57,12 +66,19 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale: float,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         # decomposed bias for these kb_rows grid rows: each row j
-        # contributes g lanes of rel_h[:, row_j] + rel_w
-        pieces = []
-        for j in range(kb_rows):
-            rh_j = jax.lax.dynamic_slice(rh, (0, kb * kb_rows + j), (bq, 1))
-            pieces.append(rh_j + rw)
-        bias = pieces[0] if kb_rows == 1 else jnp.concatenate(pieces, axis=1)
+        # contributes g lanes of rel_h[:, kb*kb_rows + j] + rel_w.
+        # Mosaic cannot dynamic_slice a register value, so the dynamic
+        # column pick is an exact one-hot matmul (0/1 selector => the
+        # MXU sum has a single nonzero term, bitwise equal to a slice).
+        hsel = jax.lax.broadcasted_iota(jnp.int32, (g, kb_rows), 0)
+        jsel = jax.lax.broadcasted_iota(jnp.int32, (g, kb_rows), 1)
+        sel = (hsel == kb * kb_rows + jsel).astype(jnp.float32)
+        rh_sel = jax.lax.dot_general(                 # (BQ, kb_rows)
+            rh, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        bias = jax.lax.dot_general(                   # (BQ, lanes)
+            rh_sel, E, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + rw_tiled
         logits = logits + bias
 
         m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))

@@ -61,17 +61,36 @@ class Loader:
                     continue
             return False
 
+        multiproc = self.sharding is not None and jax.process_count() > 1
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_threads) as pool:
                     for idxs in self._batches(order):
                         if stop.is_set():
                             return
+                        n_global = len(idxs)
+                        if multiproc:
+                            # per-host loading: decode only this host's
+                            # rows of the global batch, then reassemble
+                            # the global array from local shards
+                            # (parallel/mesh.py host_batch_slice)
+                            from cartseg_tpu.parallel import \
+                                host_batch_slice
+                            idxs = idxs[host_batch_slice(n_global)]
                         items = list(pool.map(self.dataset.__getitem__,
                                               idxs))
                         imgs = np.stack([it[0] for it in items])
                         masks = np.stack([it[1] for it in items])[..., None]
-                        if self.sharding is not None and \
+                        if multiproc:
+                            mk = jax.make_array_from_process_local_data
+                            sh = self.sharding
+                            put = (
+                                mk(sh, imgs,
+                                   (n_global,) + imgs.shape[1:]),
+                                mk(sh, masks,
+                                   (n_global,) + masks.shape[1:]))
+                        elif self.sharding is not None and \
                                 imgs.shape[0] % self.sharding.num_devices \
                                 == 0:
                             put = (jax.device_put(imgs, self.sharding),

@@ -4,11 +4,13 @@ DCN hooks) — the scaling story the single-device reference lacks
 
 from cartseg_tpu.parallel.mesh import (
     data_mesh, batch_sharding, replicated_sharding, shard_batch, replicate,
-    local_device_count, process_count, process_index, maybe_initialize_distributed,
+    local_device_count, process_count, process_index,
+    maybe_initialize_distributed, is_main_process, barrier, host_batch_slice,
 )
 
 __all__ = [
     "data_mesh", "batch_sharding", "replicated_sharding", "shard_batch",
     "replicate", "local_device_count", "process_count", "process_index",
-    "maybe_initialize_distributed",
+    "maybe_initialize_distributed", "is_main_process", "barrier",
+    "host_batch_slice",
 ]

@@ -69,3 +69,39 @@ def process_count() -> int:
 
 def process_index() -> int:
     return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """True on the process that owns filesystem side effects (metrics
+    CSVs, checkpoints, synthetic-data trees). Mirrors the reference's
+    implicit single-process assumption (train_bce_dice.py writes
+    unconditionally); under jax.distributed only process 0 writes."""
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point (no-op single-process). Used around
+    checkpoint writes so non-main processes never read a half-written
+    tree."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def host_batch_slice(n: int) -> slice:
+    """This host's contiguous row range of a global batch of n rows.
+
+    Global batches are composed identically to the single-process run:
+    the epoch order stays global, and each host materialises only rows
+    [h*k, (h+1)*k) of every batch (k = n / process_count). With the 1-D
+    data mesh (devices grouped by process) those rows are exactly this
+    host's addressable shards, so
+    jax.make_array_from_process_local_data reassembles the same global
+    batch the single-process run sees — per-host loading with exact
+    step equivalence (tests/test_distributed.py)."""
+    p, h = jax.process_count(), jax.process_index()
+    if n % p:
+        raise ValueError(f"global batch {n} not divisible by "
+                         f"process_count {p}")
+    k = n // p
+    return slice(h * k, (h + 1) * k)

@@ -21,9 +21,12 @@ def save_checkpoint(ckpt_dir: Path, tree: Dict[str, Any],
                     metadata: Optional[Dict[str, Any]] = None):
     """Save {params, batch_stats, opt?...} + metadata.json."""
     ckpt_dir = Path(ckpt_dir).absolute()
+    # Under jax.distributed, Orbax's save is a collective: call it from
+    # EVERY process (it syncs internally; the primary writes). The
+    # plain-file metadata write stays on process 0.
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(ckpt_dir / "tree", tree, force=True)
-    if metadata is not None:
+    if metadata is not None and jax.process_index() == 0:
         write_json(ckpt_dir / "metadata.json", metadata)
 
 

@@ -44,7 +44,9 @@ from cartseg_tpu.data import (
 from cartseg_tpu.data.pairing import session_split_seeded
 from cartseg_tpu.data.sampling import mixed_index_table
 from cartseg_tpu.models import build_model, init_model, param_groups
-from cartseg_tpu.parallel import data_mesh, replicate
+from cartseg_tpu.parallel import (
+    data_mesh, replicate, is_main_process, barrier,
+)
 from cartseg_tpu.train.config import TrainConfig
 from cartseg_tpu.train.optim import (
     AdamWState, init_adamw, group_id_tree, adamw_update,
@@ -171,10 +173,15 @@ class Trainer:
         """Returns (train_ds, val_ds, sampler_or_None, src_of_global)."""
         cfg = self.cfg
         if cfg.synthetic:
-            ir, mr = make_synthetic_tree(
-                cfg.out_path() / "synthetic",
-                n_sessions=cfg.synthetic_sessions,
-                per_session=cfg.synthetic_per_session, seed=cfg.seed)
+            sroot = cfg.out_path() / "synthetic"
+            if is_main_process():
+                ir, mr = make_synthetic_tree(
+                    sroot, n_sessions=cfg.synthetic_sessions,
+                    per_session=cfg.synthetic_per_session, seed=cfg.seed)
+            else:
+                # paths are deterministic; only process 0 writes files
+                ir, mr = sroot / "images", sroot / "masks"
+            barrier("synthetic_tree")
             cfg = dataclasses.replace(cfg, images_root=str(ir),
                                       masks_root=str(mr))
             self.cfg = cfg
@@ -435,18 +442,18 @@ class Trainer:
                                   1.0, 1.0], jnp.float32)
 
             # epoch plan (identical on every host — the sampler/permutation
-            # is seed-derived; each host then takes its stride slice, the
-            # coordination-free multi-host recipe of SURVEY.md section 5)
+            # is seed-derived; the order stays GLOBAL and each host
+            # materialises only its contiguous row slice of every batch
+            # inside the Loader (parallel/mesh.py host_batch_slice), the
+            # coordination-free multi-host recipe of SURVEY.md section 5
+            # with exact single-process batch equivalence
+            # (tests/test_distributed.py)
             if sampler is not None:
                 order = sampler.epoch(epoch)
             else:
                 order = np.random.default_rng(
                     np.random.SeedSequence([cfg.seed, 7, epoch])
                 ).permutation(len(train_ds))
-            if jax.process_count() > 1:
-                from cartseg_tpu.data.pairing import shard_for_host
-                order = np.asarray(shard_for_host(
-                    list(order), jax.process_index(), jax.process_count()))
 
             # per-sample loss weights (mixed curriculum)
             w_epoch = base_w.copy()
@@ -528,28 +535,38 @@ class Trainer:
                 # relayed PJRT backends)
                 row["images_per_sec"] = round(
                     timer.rates()["images_per_sec"], 2)
-            csv_log.append(row)
-            history.append(row)
+            if is_main_process():
+                csv_log.append(row)
+                history.append(row)
             log(f"Epoch {epoch + 1}/{cfg.epochs} | Train {train_loss:.4f} | "
                 f"Val {val_loss:.4f} | Dice {row['val_dice']:.4f} | "
                 f"IoU {row['val_iou']:.4f}")
 
             if row["val_dice"] > best_dice:
                 best_dice, best_epoch, no_improve = row["val_dice"], epoch, 0
+                # Orbax save is a COLLECTIVE (it syncs all processes
+                # internally and writes from the primary only) — every
+                # process must enter it, or process 0 deadlocks in
+                # orbax's sync while the others run ahead into the next
+                # epoch's all-reduce (observed as mutual 30-min gloo
+                # timeouts). Only the plain-file torch export is gated.
                 tree = {"params": jax.device_get(state.params),
                         "batch_stats": jax.device_get(state.batch_stats)}
                 if cfg.save_optimizer_state:
                     tree["opt"] = jax.device_get(state.opt)
                 ckpt_lib.save_checkpoint(
                     ckpt_dir, tree,
-                    metadata={"epoch": epoch, "val_dice": row["val_dice"],
+                    metadata={"epoch": epoch,
+                              "val_dice": row["val_dice"],
                               "val_iou": row["val_iou"]})
-                if cfg.save_torch_checkpoint and cfg.encoder != "classic":
+                if (is_main_process() and cfg.save_torch_checkpoint
+                        and cfg.encoder != "classic"):
                     ckpt_lib.export_torch_checkpoint(
                         out / f"{cfg.checkpoint_name}.pth",
                         {"params": jax.device_get(state.params),
                          "batch_stats": jax.device_get(state.batch_stats)},
-                        cfg.encoder, epoch, row["val_dice"], row["val_iou"])
+                        cfg.encoder, epoch, row["val_dice"],
+                        row["val_iou"])
             else:
                 no_improve += 1
                 if no_improve >= cfg.patience:
@@ -558,6 +575,10 @@ class Trainer:
 
         elapsed = time.time() - t_start
         # ---- threshold sweep on the best checkpoint ----
+        # every process entered the (collective) Orbax save; this extra
+        # barrier just keeps the plain-file metadata/sidecar writes of
+        # process 0 ordered before everyone's restore
+        barrier("best_checkpoint_written")
         like = {"params": jax.device_get(state.params),
                 "batch_stats": jax.device_get(state.batch_stats)}
         if cfg.save_optimizer_state:
@@ -585,8 +606,10 @@ class Trainer:
         else:
             dice_t = iou_t = np.zeros(len(thresholds), np.float32)
         k = int(np.argmax(dice_t))
-        ckpt_lib.save_threshold_sidecar(ckpt_dir, thresholds[k],
-                                        float(dice_t[k]), float(iou_t[k]))
+        if is_main_process():
+            ckpt_lib.save_threshold_sidecar(ckpt_dir, thresholds[k],
+                                            float(dice_t[k]),
+                                            float(iou_t[k]))
         log(f"Best threshold: {thresholds[k]:.2f} | Dice {dice_t[k]:.4f}")
 
         return {"best_val_dice": best_dice, "best_epoch": best_epoch,

@@ -87,7 +87,9 @@ class SamConfig:
     # route the global blocks through the Pallas flash-attention kernel
     # (ops/pallas/flash_attention.py): never materializes the
     # (12, 4096, 4096) logits; fp32 online softmax (official numerics).
-    # Inference-only (fwd kernel, no VJP) -- measured before defaulting.
+    # Inference-only (fwd kernel, no VJP), so False here to keep the
+    # bare model trainable; TpuSamPredictor defaults it ON — measured
+    # 40.1 vs 53.3 ms/img, 1.0% max rel dev (docs/sam_bench.json).
     global_attn_flash: bool = False
 
     @property
@@ -784,7 +786,13 @@ class TpuSamPredictor:
 
     def __init__(self, variables: dict, cfg: Optional[SamConfig] = None,
                  dtype=jnp.float32):
-        self.cfg = cfg or SamConfig()
+        # inference path: default the global blocks onto the Pallas
+        # flash-attention lane — measured 40.1 vs 53.3 ms/img on chip
+        # (docs/sam_bench.json, 2026-08-18), 1.0% max rel embedding dev
+        # vs the fp32-softmax lane. The base SamConfig keeps it off
+        # because the kernel is forward-only (no VJP) and the bare
+        # model must stay trainable; pass an explicit cfg to override.
+        self.cfg = cfg or SamConfig(global_attn_flash=True)
         self.model = Sam(self.cfg, dtype)
         # device-resident jnp leaves (converted trees arrive as numpy)
         variables = jax.tree_util.tree_map(jnp.asarray, variables)

@@ -93,3 +93,28 @@ def test_shard_for_host_partitions():
     parts = [shard_for_host(idx, h, 4) for h in range(4)]
     assert sorted(sum(parts, [])) == idx
     assert parts[0] == [0, 4, 8]
+
+
+def test_host_batch_slice_partitions_and_validates():
+    """host_batch_slice: contiguous per-host row ranges that exactly
+    partition a global batch; non-divisible batches are an error
+    (parallel/mesh.py — the per-host loading contract of
+    tests/test_distributed.py)."""
+    from cartseg_tpu.parallel import host_batch_slice
+
+    # single-process run: the slice is the whole batch (any size
+    # divides process_count == 1, so no error path here; the
+    # divisibility ValueError is multi-process-only and exercised by
+    # construction in tests/test_distributed.py's worker config)
+    s = host_batch_slice(8)
+    assert list(range(8))[s] == list(range(8))
+    assert list(range(7))[host_batch_slice(7)] == list(range(7))
+
+
+def test_is_main_process_and_barrier_single_process():
+    """Single-process: is_main_process() is True and barrier() is a
+    no-op (multi-process behavior exercised in tests/test_distributed)."""
+    from cartseg_tpu.parallel import barrier, is_main_process
+
+    assert is_main_process()
+    barrier("unit-test")  # must not hang or require peers

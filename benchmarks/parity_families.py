@@ -17,6 +17,9 @@ Families (reference sources):
                   (three LR tiers from epoch 0: enc x0.1, dec x1, head x3)
   boundary        src/train_with_boundary_loss.py:191-282 (BCE+Dice +
                   symmetric SDF boundary, wb=0.3, scipy EDT)
+  abl             src/training/train_BCEDice_ABL.py:264-302, 354-404
+                  (BCE+Dice + 0.1*Active Boundary Loss, scipy EDT,
+                  freeze->unfreeze at LR x 0.3)
   pseudo_loop     train -> create_pseudo_labels QC gates -> finetune
                   (create_pseudo_labels.py:146-197; src/train_pseudo.py)
 
@@ -87,6 +90,101 @@ def boundary_torch(logits, targets, bce_weight=0.5, boundary_weight=0.3,
            + w_pred * ((1.0 - probs) * (-sdf_pred)).abs().mean())
     reg = bce_dice_torch(logits, targets, w=bce_weight)
     return (1 - boundary_weight) * reg + boundary_weight * bnd
+
+
+def abl_torch_batch(logits, target, max_N_ratio=1 / 100., lb_smooth=0.2,
+                    max_clip=20.0):
+    """Differentiable batched restatement of the reference ABL
+    (src/training/losses/abl.py:32-212) on CPU: per-sample scipy EDT
+    distance maps (the *intended* per-sample map — the reference's
+    torch.cat in get_dist_maps interleaves one-hot channels across the
+    batch for B>1; see cartseg_tpu/losses/abl.py docstring), whole-batch
+    adaptive eps vs a per-image max_N budget (abl.py:67-81), neighbor
+    KL with detached neighbors (abl.py:137-146), LSSCE(0.2) over 8
+    directions weighted by clipped distance (abl.py:205-210).
+    Returns None when the predicted boundary is empty (abl.py:201-202).
+    logits [B,1,H,W] torch (grad flows); target [B,1,H,W] float 0/1."""
+    from scipy.ndimage import distance_transform_edt as sp_edt
+
+    tg = (target[:, 0] > 0.5).long()                    # [B,H,W]
+    pf = torch.sigmoid(logits)
+    probs = torch.cat([1 - pf, pf], dim=1)              # [B,2,H,W]
+
+    def kl(a, b):
+        return F.softmax(b, 1) * (F.log_softmax(b, 1) - F.log_softmax(a, 1))
+
+    # gt boundary (abl.py:89-101)
+    ud = F.pad(tg[:, 1:, :] - tg[:, :-1, :], (0, 0, 0, 1)) != 0
+    lr = F.pad(tg[:, :, 1:] - tg[:, :, :-1], (0, 1, 0, 0)) != 0
+    gtb = (ud | lr)
+
+    # per-sample dist map = max(0, EDT(~boundary) - 1) (abl.py:17-24)
+    dists = []
+    for b in range(tg.shape[0]):
+        m = gtb[b].numpy()
+        dists.append(np.maximum(sp_edt(~m) - 1.0, 0.0) if m.any()
+                     else np.zeros(m.shape, float))
+    dist_map = torch.from_numpy(np.stack(dists)).float()  # [B,H,W]
+
+    # predicted boundary: adaptive eps + 3x3 dilation (abl.py:65-87)
+    h, w = logits.shape[2:]
+    kl_ud = F.pad(kl(probs[:, :, 1:, :], probs[:, :, :-1, :])
+                  .sum(1, keepdim=True), (0, 0, 0, 1))
+    kl_lr = F.pad(kl(probs[:, :, :, 1:], probs[:, :, :, :-1])
+                  .sum(1, keepdim=True), (0, 1, 0, 0))
+    klc = (kl_ud + kl_lr).detach()
+    eps, max_N = 1e-5, h * w * max_N_ratio
+    while (klc > eps).float().sum() > max_N:
+        eps *= 1.2
+    binm = (klc > eps).float()
+    edge2 = F.conv2d(binm, torch.ones(1, 1, 3, 3), padding=1).squeeze(1)
+    pred_bound = edge2 > 0                              # [B,H,W]
+    if pred_bound.sum() < 1:
+        return None
+
+    nz = torch.nonzero(pred_bound * 1)
+    n, x, y = nz.T
+    dist_pad = F.pad(dist_map, (1, 1, 1, 1), value=1e5)
+    lgt = probs.permute(0, 2, 3, 1)                     # NHWC
+    lgt_d = F.pad(lgt, (0, 0, 1, 1, 1, 1))
+    lgt_d[:, 0] = lgt_d[:, 1]                           # replicate edges
+    lgt_d[:, -1] = lgt_d[:, -2]                         # (abl.py:115-119)
+    lgt_d[:, :, 0] = lgt_d[:, :, 1]
+    lgt_d[:, :, -1] = lgt_d[:, :, -2]
+
+    x_range = [1, -1, 0, 0, -1, 1, -1, 1, 0]            # abl.py:121-127
+    y_range = [0, 0, -1, 1, 1, 1, -1, -1, 0]
+    dist_stack, kl_stack = [], []
+    center = lgt[(n, x, y)]
+    for dx, dy in zip(x_range, y_range):
+        dist_stack.append(dist_pad[(n, x + dx + 1, y + dy + 1)])
+        if dx != 0 or dy != 0:
+            nb = lgt_d[(n, x + dx + 1, y + dy + 1)].detach()
+            kl_stack.append((F.softmax(nb, 1)
+                             * (F.log_softmax(nb, 1)
+                                - F.log_softmax(center, 1))).sum(1))
+    dist_stack = torch.stack(dist_stack)                # [9,K]
+    kl_stack = torch.stack(kl_stack).T                  # [K,8]
+    direction_gt = torch.argmin(dist_stack, dim=0)
+    weight = dist_map[(n, x, y)]
+    keep = direction_gt != 8
+    dgt, dpred = direction_gt[keep], kl_stack[keep]
+    weight = torch.clamp(weight[keep], max=max_clip) / max_clip
+
+    # LSSCE V1 math, reduction none (losses/label_smooth.py:14-54)
+    C = 8
+    oh = torch.full_like(dpred, lb_smooth / C).scatter_(
+        1, dgt[:, None], 1 - lb_smooth)
+    ce = -(F.log_softmax(dpred, 1) * oh).sum(1)
+    return (ce * weight).mean()
+
+
+def bce_dice_abl_torch(logits, targets, bce_weight=0.5, abl_weight=0.1):
+    """BCEDiceABL composite (src/training/train_BCEDice_ABL.py:264-302):
+    total = region + 0.1 * ABL, region-only when ABL returns None."""
+    region = bce_dice_torch(logits, targets, w=bce_weight)
+    boundary = abl_torch_batch(logits, targets)
+    return region if boundary is None else region + abl_weight * boundary
 
 
 def _torch_groups(model):
@@ -214,6 +312,14 @@ def _family_spec(name, img):
                 lambda lg, y: boundary_torch(lg, y),
                 LossSpec("boundary", {"bce_weight": 0.5,
                                       "boundary_weight": 0.3}),
+                dict(imagenet=True, freeze_epochs=2, unfreeze_scale=0.3))
+    if name == "abl":
+        # src/training/train_BCEDice_ABL.py:354-404 — effnet-b0,
+        # ImageNet norm, freeze->unfreeze at LR x 0.3, BCE+Dice+0.1*ABL
+        return ("efficientnet-b0",
+                lambda lg, y: bce_dice_abl_torch(lg, y),
+                LossSpec("bce_dice_abl", {"bce_weight": 0.5,
+                                          "abl_weight": 0.1}),
                 dict(imagenet=True, freeze_epochs=2, unfreeze_scale=0.3))
     raise ValueError(name)
 
@@ -422,7 +528,7 @@ def run_pseudo_loop(out, epochs, lr, batch, img, log=print):
 
 
 ALL_FAMILIES = ("bce_dice", "pretrained", "focal_frozen", "focal_unfrozen",
-                "boundary", "pseudo_loop")
+                "boundary", "abl", "pseudo_loop")
 
 
 def main(argv=None):

@@ -203,3 +203,43 @@ def test_abl_is_differentiable(rng):
     g = jax.grad(f)(jnp.asarray(logits))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_parity_harness_abl_twin_matches_batch_semantics():
+    """The parity-family harness's differentiable torch ABL twin
+    (benchmarks/parity_families.py::abl_torch_batch) must agree with
+    the B=1 oracle above AND with the jax loss at B>1, where the
+    whole-batch adaptive-eps budget (abl.py:67-81) is exercised."""
+    from benchmarks.parity_families import abl_torch_batch
+
+    # B=1 vs the independent oracle
+    rng = np.random.default_rng(2)
+    logits = rng.normal(0, 2, (1, 48, 48, 1)).astype(np.float32)
+    target = (rng.random((1, 48, 48)) > 0.6).astype(np.int64)
+    ref = torch_abl_oracle(logits, target)
+    lg = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))).float()
+    tg = torch.from_numpy(target[:, None].astype(np.float32))
+    got = abl_torch_batch(lg, tg)
+    assert got is not None and ref is not None
+    assert got.item() == pytest.approx(ref, rel=1e-6, abs=1e-9)
+
+    # B=4 vs the jax implementation (blob masks -> nonzero weights)
+    rng = np.random.default_rng(5)
+    B, H, W = 4, 48, 48
+    yy, xx = np.mgrid[:H, :W]
+    target = np.stack([
+        ((yy - rng.integers(10, 38)) ** 2
+         + (xx - rng.integers(10, 38)) ** 2 < rng.integers(6, 14) ** 2)
+        for _ in range(B)]).astype(np.int64)
+    logits = (target[..., None] * 4.0 - 2.0
+              + rng.normal(0, 1.5, (B, H, W, 1))).astype(np.float32)
+    lg = torch.from_numpy(np.transpose(logits, (0, 3, 1, 2))).float()
+    lg.requires_grad_(True)
+    tg = torch.from_numpy(target[:, None].astype(np.float32))
+    t_loss = abl_torch_batch(lg, tg)
+    j_loss, n_valid = L.active_boundary_loss(jnp.asarray(logits),
+                                             jnp.asarray(target))
+    assert int(n_valid) > 0
+    assert t_loss.item() == pytest.approx(float(j_loss), rel=1e-5)
+    t_loss.backward()  # grad must flow for the torch family trainer
+    assert float(lg.grad.abs().sum()) > 0

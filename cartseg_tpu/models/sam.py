@@ -87,9 +87,11 @@ class SamConfig:
     # route the global blocks through the Pallas flash-attention kernel
     # (ops/pallas/flash_attention.py): never materializes the
     # (12, 4096, 4096) logits; fp32 online softmax (official numerics).
-    # Inference-only (fwd kernel, no VJP), so False here to keep the
-    # bare model trainable; TpuSamPredictor defaults it ON — measured
-    # 40.1 vs 53.3 ms/img, 1.0% max rel dev (docs/sam_bench.json).
+    # Trainable (custom VJP — flash backward kernels, grads parity-
+    # tested vs autodiff of the XLA lane); stays False here so the
+    # bare model's numerics are the checkpoint-faithful XLA lane by
+    # default. TpuSamPredictor defaults it ON — measured 40.1 vs
+    # 53.3 ms/img, 1.0% max rel dev (docs/sam_bench.json).
     global_attn_flash: bool = False
 
     @property
@@ -789,9 +791,9 @@ class TpuSamPredictor:
         # inference path: default the global blocks onto the Pallas
         # flash-attention lane — measured 40.1 vs 53.3 ms/img on chip
         # (docs/sam_bench.json, 2026-08-18), 1.0% max rel embedding dev
-        # vs the fp32-softmax lane. The base SamConfig keeps it off
-        # because the kernel is forward-only (no VJP) and the bare
-        # model must stay trainable; pass an explicit cfg to override.
+        # vs the fp32-softmax lane. The base SamConfig keeps it off to
+        # stay checkpoint-faithful by default (the kernel is trainable
+        # — custom VJP); pass an explicit cfg to override.
         self.cfg = cfg or SamConfig(global_attn_flash=True)
         self.model = Sam(self.cfg, dtype)
         # device-resident jnp leaves (converted trees arrive as numpy)

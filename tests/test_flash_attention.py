@@ -104,3 +104,72 @@ def test_encoder_flag_end_to_end():
     y_f = enc_f.apply(var, x)
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y),
                                atol=5e-5, rtol=5e-5)
+
+
+# ------------------------------------------------------- custom VJP
+
+@pytest.mark.parametrize("g,hd", [(16, 32), (16, 64)])
+def test_vjp_matches_oracle_grads_fp32(g, hd):
+    """All five gradients (dq, dk, dv, drel_h, drel_w) of the flash
+    kernel's custom VJP vs jax autodiff of the XLA oracle."""
+    q, k, v, rh, rw = _inputs(g, hd, bnh=2, seed=3)
+    scale = hd ** -0.5
+    key = jax.random.key(9)
+    cot = jax.random.normal(key, q.shape)  # random cotangent
+
+    def loss_flash(q, k, v, rh, rw):
+        o = flash_attention_relpos(q, k, v, rh, rw, scale=scale,
+                                   grid_size=g)
+        return jnp.sum(o * cot)
+
+    def loss_ref(q, k, v, rh, rw):
+        return jnp.sum(_oracle(q, k, v, rh, rw, scale) * cot)
+
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+    for a, b, name in zip(g_fl, g_rf, ("dq", "dk", "dv", "drh", "drw")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5, err_msg=name)
+
+
+def test_vjp_primal_matches_forward():
+    """value_and_grad's primal equals the inference forward output."""
+    q, k, v, rh, rw = _inputs(16, 32, bnh=1, seed=4)
+
+    def f(q):
+        o = flash_attention_relpos(q, k, v, rh, rw, scale=0.25,
+                                   grid_size=16)
+        return jnp.sum(o ** 2), o
+
+    (_, o_grad), _ = jax.value_and_grad(f, has_aux=True)(q)
+    o_inf = flash_attention_relpos(q, k, v, rh, rw, scale=0.25,
+                                   grid_size=16)
+    np.testing.assert_allclose(np.asarray(o_grad), np.asarray(o_inf),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_vit_attention_flash_grads_match_xla():
+    """ViTAttention param/input grads, flash lane vs XLA lane."""
+    from cartseg_tpu.models.sam import ViTAttention
+
+    x = jax.random.normal(jax.random.key(12), (1, 16, 16, 64))
+    a_ref = ViTAttention(64, 2, 16, dtype=jnp.float32, use_flash=False)
+    a_fl = ViTAttention(64, 2, 16, dtype=jnp.float32, use_flash=True)
+    var = a_ref.init(jax.random.key(13), x)
+    var = jax.tree_util.tree_map(
+        lambda a: 0.1 * jax.random.normal(jax.random.key(14), a.shape),
+        var)
+
+    def loss(mod):
+        return lambda v, xx: jnp.sum(mod.apply(v, xx) ** 2)
+
+    gv_ref, gx_ref = jax.grad(loss(a_ref), argnums=(0, 1))(var, x)
+    gv_fl, gx_fl = jax.grad(loss(a_fl), argnums=(0, 1))(var, x)
+    np.testing.assert_allclose(np.asarray(gx_fl), np.asarray(gx_ref),
+                               atol=5e-5, rtol=5e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(gv_ref)
+    flat_fl = dict(jax.tree_util.tree_leaves_with_path(gv_fl))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_fl[path]), np.asarray(leaf),
+            atol=5e-5, rtol=5e-5, err_msg=str(path))

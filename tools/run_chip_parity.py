@@ -364,13 +364,50 @@ def main():
     t_xla_fa = _time_scalar_loop(
         lambda q, k, v, rh, rw: jnp.sum(_fa_oracle(q, k, v, rh, rw)),
         fa_args, k=10)
+    # custom VJP: compile the two backward Mosaic kernels on chip and
+    # assert all five grads (dq,dk,dv,drel_h,drel_w) vs oracle autodiff
+    fa_cot = jax.random.normal(jax.random.key(12),
+                               (bnh_fa, S_fa, hd_fa), jnp.bfloat16)
+
+    def _loss_flash(q, k, v, rh, rw):
+        o = flash_attention_relpos(q, k, v, rh, rw,
+                                   scale=hd_fa ** -0.5, grid_size=g_fa)
+        return jnp.sum(o.astype(jnp.float32) * fa_cot.astype(jnp.float32))
+
+    def _loss_xla(q, k, v, rh, rw):
+        return jnp.sum(_fa_oracle(q, k, v, rh, rw)
+                       * fa_cot.astype(jnp.float32))
+
+    g_fl = jax.jit(jax.grad(_loss_flash, argnums=(0, 1, 2, 3, 4)))(
+        *fa_args)
+    g_rf = jax.jit(jax.grad(_loss_xla, argnums=(0, 1, 2, 3, 4)))(*fa_args)
+    fa_grad_rel = max(
+        float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+              / (jnp.abs(b.astype(jnp.float32)).max() + 1e-9))
+        for a, b in zip(g_fl, g_rf))
+    assert fa_grad_rel < 0.05, f"flash attention grad parity {fa_grad_rel}"
+    tfb_pal = _time_scalar_loop(
+        lambda q, k, v, rh, rw: sum(
+            jnp.sum(x.astype(jnp.float32) ** 2) for x in
+            jax.grad(_loss_flash, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)),
+        fa_args, k=10)
+    tfb_xla = _time_scalar_loop(
+        lambda q, k, v, rh, rw: sum(
+            jnp.sum(x.astype(jnp.float32) ** 2) for x in
+            jax.grad(_loss_xla, argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)),
+        fa_args, k=10)
     rows.append(dict(kernel="flash_attn(SAM global relpos)",
                      shape=f"({bnh_fa},{S_fa},{hd_fa}) bf16",
-                     max_err_fwd=fa_rel, max_err_grad=0.0,
+                     max_err_fwd=fa_rel, max_err_grad=fa_grad_rel,
                      pallas_fwd_ms=t_pal * 1e3, xla_fwd_ms=t_xla_fa * 1e3,
-                     fwd_speedup=t_xla_fa / t_pal))
+                     fwd_speedup=t_xla_fa / t_pal,
+                     pallas_fwdbwd_ms=tfb_pal * 1e3,
+                     xla_fwdbwd_ms=tfb_xla * 1e3,
+                     fwdbwd_speedup=tfb_xla / tfb_pal))
     print(f"[kernel] flash attention: {t_pal*1e3:.2f} ms vs XLA "
-          f"{t_xla_fa*1e3:.2f} ms (rel dev {fa_rel:.4f})", flush=True)
+          f"{t_xla_fa*1e3:.2f} ms (rel dev {fa_rel:.4f}); "
+          f"f+b {tfb_pal*1e3:.2f} vs {tfb_xla*1e3:.2f} ms "
+          f"(grad rel dev {fa_grad_rel:.4f})", flush=True)
 
     # ---- report
     report = dict(date=str(date.today()), device=str(dev),

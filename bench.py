@@ -1,9 +1,15 @@
-"""Headline benchmark: train images/sec/chip at 224^2 on the reference
-baseline workload (resnet34 UNet, BCE+Dice, AdamW, on-device
-augmentation) — BASELINE.md's north-star metric.
+"""Headline benchmark — BOTH halves of BASELINE.md's north-star metric:
+
+  * train images/sec/chip at 224^2 on the reference baseline workload
+    (resnet34 UNet, BCE+Dice, AdamW, on-device augmentation), and
+  * pseudo-label inference images/sec at 512^2 (3-model ensemble +
+    flip TTA + CC cleanup + all QC statistics — the full per-batch
+    program of create_pseudo_labels_gpu.py made TPU-resident, one
+    fused XLA dispatch per batch).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "inference_images_per_sec": N}
 
 vs_baseline compares against the reference-equivalent torch CPU step
 (benchmarks/torch_reference.py), measured once and cached in
@@ -105,14 +111,74 @@ def tpu_images_per_sec() -> float:
     return BATCH * MEASURE_STEPS / dt
 
 
+INFER_IMG = 512
+INFER_BATCH = 64  # measured sweet spot (docs/BENCHMARKS.md)
+INFER_MEMBERS = 3
+INFER_WARMUP = 10
+INFER_STEPS = 20
+
+
+def tpu_inference_images_per_sec() -> float:
+    """The full pseudo-label per-batch program (ensemble + TTA + CC
+    clean + QC) as generate_pseudo_labels runs it — device-resident
+    batches, one dispatch per batch (infer/engine.py
+    pseudo_label_program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from cartseg_tpu.infer.engine import (EnsembleMember,
+                                          pseudo_label_program)
+    from cartseg_tpu.models import build_model, init_model
+
+    model = build_model("efficientnet-b0", dtype=jnp.bfloat16)
+    members = []
+    for i in range(INFER_MEMBERS):
+        v = init_model(model, jax.random.key(i), (1, 64, 64, 3))
+        members.append(EnsembleMember(model, v, 1.0))
+    min_area = int(INFER_IMG * INFER_IMG * 0.001)
+    program = pseudo_label_program(members, IMAGENET_MEAN, IMAGENET_STD,
+                                   min_area)
+
+    rng = np.random.default_rng(0)
+    # realistic content (smooth blobs), not uniform noise: the CC
+    # cleanup's convergence count depends on component structure
+    base = rng.random((INFER_BATCH, 32, 32, 3)).astype(np.float32)
+    import jax.image as jimage
+    up = np.asarray(jimage.resize(jnp.asarray(base),
+                                  (INFER_BATCH, INFER_IMG, INFER_IMG, 3),
+                                  "linear"))
+    imgs = jnp.asarray((up * 255).astype(np.uint8))
+
+    acc = 0.0
+    for _ in range(INFER_WARMUP):
+        pred, probs, stats = program(imgs, 0.5)
+        acc = acc + stats["fg_area"].sum()
+    float(acc)  # readback sync (block_until_ready is a no-op here)
+
+    t0 = time.time()
+    acc = 0.0
+    for _ in range(INFER_STEPS):
+        pred, probs, stats = program(imgs, 0.5)
+        acc = acc + stats["fg_area"].sum() + pred.sum() + probs[0, 0, 0]
+    float(acc)
+    dt = time.time() - t0
+    return INFER_BATCH * INFER_STEPS / dt
+
+
 def main():
     base = baseline_images_per_sec()
     ours = tpu_images_per_sec()
+    infer = tpu_inference_images_per_sec()
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_224",
         "value": round(ours, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ours / base, 2),
+        "inference_images_per_sec": round(infer, 2),
+        "inference_detail": f"{INFER_MEMBERS}-model ensemble + flip TTA "
+                            f"+ CC clean + QC, bs{INFER_BATCH}@"
+                            f"{INFER_IMG}^2, fused single dispatch",
     }))
 
 

@@ -5,6 +5,7 @@ mining (mine_hard_cases.py), and soft-prob ranking
 
 from cartseg_tpu.infer.engine import (
     EnsembleMember, load_member, ensemble_probs_fn, qc_stats_fn,
+    pseudo_label_program,
 )
 from cartseg_tpu.infer.pseudo_labels import (
     PseudoLabelConfig, QCThresholds, generate_pseudo_labels, should_accept,
@@ -14,6 +15,7 @@ from cartseg_tpu.infer.ranking import RankingConfig, rank_pseudo_masks, score_sa
 
 __all__ = [
     "EnsembleMember", "load_member", "ensemble_probs_fn", "qc_stats_fn",
+    "pseudo_label_program",
     "PseudoLabelConfig", "QCThresholds", "generate_pseudo_labels",
     "should_accept",
     "MiningConfig", "mine_hard_cases",

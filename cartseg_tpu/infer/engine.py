@@ -69,10 +69,9 @@ def load_torch_member(pth_path: Path, encoder: str = "efficientnet-b0",
     return EnsembleMember(model, variables, weight, thr)
 
 
-def ensemble_probs_fn(members: Sequence[EnsembleMember],
-                      mean, std, tta_flip: bool = False) -> Callable:
-    """Returns jitted fn(images_u8 [B,H,W,3]) -> probs [B,H,W] fp32
-    (weighted sigma-mean; optionally also the flip-TTA probs)."""
+def _ensemble_forward_body(members: Sequence[EnsembleMember], mean, std):
+    """Un-jitted weighted sigma-mean forward body shared by
+    ensemble_probs_fn and pseudo_label_program."""
     ws = np.asarray([m.weight for m in members], np.float64)
     ws = ws / ws.sum()
     models = [m.model for m in members]
@@ -91,9 +90,10 @@ def ensemble_probs_fn(members: Sequence[EnsembleMember],
                 logits[..., 0].astype(jnp.float32))
         return probs
 
-    if not tta_flip:
-        return jax.jit(forward)
+    return forward
 
+
+def _tta_body(forward: Callable) -> Callable:
     def forward_tta(images_u8):
         # one ensemble pass at 2B (originals ++ mirrored) instead of two
         # at B: halves the per-pass overheads and feeds the MXU a bigger
@@ -103,7 +103,17 @@ def ensemble_probs_fn(members: Sequence[EnsembleMember],
         p = forward(both)
         return p[:B], p[B:][:, :, ::-1]
 
-    return jax.jit(forward_tta)
+    return forward_tta
+
+
+def ensemble_probs_fn(members: Sequence[EnsembleMember],
+                      mean, std, tta_flip: bool = False) -> Callable:
+    """Returns jitted fn(images_u8 [B,H,W,3]) -> probs [B,H,W] fp32
+    (weighted sigma-mean; optionally also the flip-TTA probs)."""
+    forward = _ensemble_forward_body(members, mean, std)
+    if not tta_flip:
+        return jax.jit(forward)
+    return jax.jit(_tta_body(forward))
 
 
 def entropy_map(p, eps: float = 1e-6):
@@ -114,15 +124,16 @@ def entropy_map(p, eps: float = 1e-6):
 def qc_stats_fn(edge_threshold: float = 120.0,
                 edge_method: str = "canny",
                 canny_low: float = 50.0,
-                canny_high: float = 150.0) -> Callable:
+                canny_high: float = 150.0,
+                jit: bool = True) -> Callable:
     """jitted fn(probs, probs_flip, images_u8, threshold) -> dict of
     per-image QC stats [B] matching create_pseudo_labels.py:233-240:
     fg_area, fg_conf (median |p-.5|*2), mean_entropy, tta_iou,
     edge_hit. edge_method='canny' reproduces the reference's
     cv2.Canny(50,150) gate on device (create_pseudo_labels.py:178-189);
-    'sobel' is the cheaper single-threshold knob."""
+    'sobel' is the cheaper single-threshold knob. jit=False returns the
+    bare body for inlining into a larger program."""
 
-    @jax.jit
     def stats(probs, probs_flip, images_u8, threshold):
         pred = probs >= threshold
         fg_area = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
@@ -152,4 +163,45 @@ def qc_stats_fn(edge_threshold: float = 120.0,
                 "mean_entropy": mean_ent, "tta_iou": tta_iou,
                 "edge_hit": edge_hit}
 
-    return stats
+    return jax.jit(stats) if jit else stats
+
+
+def pseudo_label_program(members: Sequence[EnsembleMember], mean, std,
+                         min_area: int,
+                         edge_threshold: float = 120.0,
+                         edge_method: str = "canny",
+                         canny_low: float = 50.0,
+                         canny_high: float = 150.0) -> Callable:
+    """The whole per-batch pseudo-label computation as ONE jitted
+    program: fn(images_u8 [B,H,W,3], threshold) ->
+    (pred [B,H,W] bool CC-cleaned, probs [B,H,W] f32, stats dict).
+
+    Fuses what generate_pseudo_labels previously ran as four dispatches
+    (ensemble+TTA forward, CC clean, QC stats, cleaned-fg_area refresh)
+    into a single XLA executable — on this runtime each dispatch
+    carries ~19 ms of fixed host overhead (CLAUDE.md), so at bs64 the
+    fusion alone is worth ~3x19 ms per 64 images. Math is identical to
+    the separate calls (tests/test_infer.py::test_fused_program_matches).
+
+    fg_area is computed on the CLEANED mask (the reference computes it
+    after clean_mask, create_pseudo_labels.py:235); every other stat
+    matches qc_stats_fn on the raw thresholded probs.
+    """
+    from cartseg_tpu.ops.connected_components import remove_small_components
+
+    forward_tta = _tta_body(_ensemble_forward_body(members, mean, std))
+    qc = qc_stats_fn(edge_threshold=edge_threshold,
+                     edge_method=edge_method, canny_low=canny_low,
+                     canny_high=canny_high, jit=False)
+
+    @jax.jit
+    def program(images_u8, threshold):
+        probs, probs_flip = forward_tta(images_u8)
+        pred = jax.vmap(
+            lambda m: remove_small_components(m, min_area))(
+                probs >= threshold)
+        stats = qc(probs, probs_flip, images_u8, threshold)
+        stats["fg_area"] = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
+        return pred, probs, stats
+
+    return program

@@ -29,9 +29,8 @@ import jax.numpy as jnp
 from cartseg_tpu import geometry as G
 from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
 from cartseg_tpu.infer.engine import (
-    EnsembleMember, ensemble_probs_fn, qc_stats_fn,
+    EnsembleMember, pseudo_label_program,
 )
-from cartseg_tpu.ops.connected_components import remove_small_components
 
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
 
@@ -121,13 +120,12 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
         else members[0].threshold
     mean = IMAGENET_MEAN if cfg.imagenet_norm else (0, 0, 0)
     std = IMAGENET_STD if cfg.imagenet_norm else (1, 1, 1)
-    fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
-    qc = qc_stats_fn(edge_threshold=cfg.edge_threshold,
-                     edge_method=cfg.edge_method,
-                     canny_low=cfg.canny_low, canny_high=cfg.canny_high)
     min_area = int(cfg.img_size * cfg.img_size * cfg.min_area_frac)
-    clean = jax.jit(jax.vmap(
-        lambda m: remove_small_components(m, min_area)))
+    # the whole per-batch computation as one dispatch (engine.py)
+    program = pseudo_label_program(
+        members, mean, std, min_area,
+        edge_threshold=cfg.edge_threshold, edge_method=cfg.edge_method,
+        canny_low=cfg.canny_low, canny_high=cfg.canny_high)
 
     paths = sorted(p for p in root.rglob("*")
                    if p.suffix.lower() in IMG_EXTS)
@@ -175,16 +173,13 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
         if counter >= cfg.max_masks:
             break
         jimgs = jnp.asarray(imgs)
-        probs, probs_flip = fwd(jimgs)
-        pred = clean(probs >= threshold)
-        stats = qc(probs, probs_flip, jimgs, threshold)
-        # refresh fg_area on the cleaned mask (reference computes it
-        # after clean_mask, create_pseudo_labels.py:235)
-        fg_area_clean = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
+        # fg_area in stats is already refreshed on the cleaned mask
+        # (reference computes it after clean_mask,
+        # create_pseudo_labels.py:235)
+        pred, probs, stats = program(jimgs, threshold)
         pred_np = np.asarray(pred).astype(np.uint8)
         probs_np = np.asarray(probs)
         stats_np = {k: np.asarray(v) for k, v in stats.items()}
-        stats_np["fg_area"] = np.asarray(fg_area_clean)
 
         for i, (p, bucket) in enumerate(metas):
             if bucket_counts.get(bucket, 0) >= cfg.max_per_bucket:

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from cartseg_tpu.infer import (
-    EnsembleMember, ensemble_probs_fn, qc_stats_fn,
+    EnsembleMember, ensemble_probs_fn, qc_stats_fn, pseudo_label_program,
     PseudoLabelConfig, QCThresholds, generate_pseudo_labels, should_accept,
     MiningConfig, mine_hard_cases,
     RankingConfig, rank_pseudo_masks, score_sample,
@@ -84,6 +84,34 @@ def test_qc_stats_match_numpy(rng):
         a, f = p >= 0.5, probs_flip[b] >= 0.5
         iou = (a & f).sum() / max((a | f).sum(), 1)
         assert out["tta_iou"][b] == pytest.approx(iou, abs=1e-5)
+
+
+def test_fused_program_matches_separate_calls(rng):
+    """pseudo_label_program (one dispatch) must be bit-equal in math to
+    the ensemble_probs_fn + CC-clean + qc_stats_fn sequence it fused."""
+    from cartseg_tpu.ops.connected_components import remove_small_components
+
+    members = _members(2)
+    x = jnp.asarray(rng.integers(0, 255, (3, 32, 32, 3), np.uint8))
+    min_area = 4
+    program = pseudo_label_program(members, (0, 0, 0), (1, 1, 1), min_area)
+    pred, probs, stats = program(x, 0.5)
+
+    fwd = ensemble_probs_fn(members, (0, 0, 0), (1, 1, 1), tta_flip=True)
+    qc = qc_stats_fn()
+    p_ref, pf_ref = fwd(x)
+    pred_ref = jax.vmap(lambda m: remove_small_components(m, min_area))(
+        p_ref >= 0.5)
+    stats_ref = qc(p_ref, pf_ref, x, 0.5)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(p_ref),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(pred_ref))
+    for k in ("fg_conf", "mean_entropy", "tta_iou", "edge_hit"):
+        np.testing.assert_allclose(np.asarray(stats[k]),
+                                   np.asarray(stats_ref[k]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(stats["fg_area"]),
+        np.asarray(pred_ref).reshape(3, -1).mean(axis=1), atol=1e-6)
 
 
 def test_should_accept_gates():

@@ -95,7 +95,17 @@ class TrainConfig:
     out_dir: str = "runs/default"
     checkpoint_name: str = "model"
     save_optimizer_state: bool = True  # ref saves it (train_bce_dice.py:371)
-    resume: bool = False               # continue from the saved best epoch
+    # resume=True restores a TRUE continuation from <name>.last.ckpt
+    # (params/opt/batch_stats/RNG key/early-stop counter/epoch — a
+    # resumed run reproduces the uninterrupted one exactly,
+    # tests/test_engine.py::test_resume_continuation_exact); if only a
+    # best checkpoint exists it falls back to the reference-style
+    # restart from the best epoch
+    resume: bool = False
+    save_last: bool = True     # write <name>.last.ckpt every epoch
+    # stop cleanly after N epochs of THIS run without touching the
+    # cosine/early-stop schedule (preemption simulation / tests)
+    stop_after_epoch: Optional[int] = None
     metrics_schema: str = "basic"  # basic | prf1 | abl
     threshold_sweep: Tuple[float, float, int] = (0.2, 0.8, 13)
     save_torch_checkpoint: bool = False
@@ -142,8 +152,19 @@ def apply_cli_overrides(cfg: TrainConfig, argv: List[str]) -> TrainConfig:
         cur = getattr(cfg, name)
         if isinstance(cur, tuple):
             parts = val.split(",")
-            kw[name] = tuple(type(c)(p) for c, p in zip(cur, parts)) \
-                if cur else tuple(parts)
+            if not cur:
+                kw[name] = tuple(parts)
+            elif len(parts) == 1 and len(cur) > 1 and \
+                    len({type(c) for c in cur}) == 1:
+                # broadcast a single value over a homogeneous tuple
+                # (--img_size 64 means 64x64)
+                kw[name] = tuple(type(cur[0])(parts[0]) for _ in cur)
+            elif len(parts) != len(cur):
+                raise SystemExit(
+                    f"--{name} expects {len(cur)} comma-separated "
+                    f"values (got {len(parts)}: {val!r})")
+            else:
+                kw[name] = tuple(type(c)(p) for c, p in zip(cur, parts))
         elif isinstance(cur, list):
             kw[name] = val.split(",") if val else []
         elif isinstance(cur, int) and not isinstance(cur, bool):

@@ -15,11 +15,11 @@ Two pieces:
 """
 
 from cartseg_tpu.serve.export import (
-    export_segmenter, load_segmenter, ServedSegmenter,
+    export_segmenter, load_segmenter, ServedSegmenter, validate_manifest,
 )
 from cartseg_tpu.serve.server import MicroBatcher, SegmentationService
 
 __all__ = [
     "export_segmenter", "load_segmenter", "ServedSegmenter",
-    "MicroBatcher", "SegmentationService",
+    "validate_manifest", "MicroBatcher", "SegmentationService",
 ]

@@ -36,6 +36,47 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+# artifact schema version: bump on any incompatible manifest/program
+# change; loaders refuse artifacts from a NEWER schema than they know
+ARTIFACT_FORMAT = "cartseg_tpu.segmenter"
+ARTIFACT_VERSION = 1
+_REQUIRED_MANIFEST_KEYS = ("batch_size", "img_hw", "threshold")
+
+
+def validate_manifest(artifact_dir) -> dict:
+    """Load + validate an artifact directory's manifest before touching
+    the program bytes: a clear error here beats a deserializer
+    stack-trace (or silently serving with a wrong threshold) later."""
+    d = Path(artifact_dir)
+    mpath = d / "manifest.json"
+    if not mpath.exists():
+        raise ValueError(f"{d}: not a serving artifact "
+                         "(manifest.json missing)")
+    try:
+        manifest = json.loads(mpath.read_text())
+    except json.JSONDecodeError as e:
+        raise ValueError(f"{mpath}: corrupt manifest ({e})") from e
+    fmt = manifest.get("format", ARTIFACT_FORMAT)  # pre-v1 artifacts
+    if fmt != ARTIFACT_FORMAT:
+        raise ValueError(f"{d}: unknown artifact format {fmt!r} "
+                         f"(expected {ARTIFACT_FORMAT!r})")
+    ver = int(manifest.get("artifact_version", 1))
+    if ver > ARTIFACT_VERSION:
+        raise ValueError(
+            f"{d}: artifact_version {ver} is newer than this loader "
+            f"supports ({ARTIFACT_VERSION}) — upgrade cartseg_tpu")
+    missing = [k for k in _REQUIRED_MANIFEST_KEYS if k not in manifest]
+    if missing:
+        raise ValueError(f"{d}: manifest missing keys {missing}")
+    if not (d / "model.stablehlo").exists():
+        raise ValueError(f"{d}: model.stablehlo missing")
+    if (not manifest.get("embed_params", True)
+            and not (d / "params.msgpack").exists()):
+        raise ValueError(f"{d}: manifest says embed_params=false but "
+                         "params.msgpack is missing")
+    return manifest
+
+
 def _infer_fn(model, mean, std):
     import jax
     import jax.numpy as jnp
@@ -116,6 +157,8 @@ def export_segmenter(
             jax.tree_util.tree_map(lambda a: np.asarray(a), vtree)))
     (out / "model.stablehlo").write_bytes(exported.serialize())
     (out / "manifest.json").write_text(json.dumps({
+        "format": ARTIFACT_FORMAT,
+        "artifact_version": ARTIFACT_VERSION,
         "encoder": encoder,
         "img_hw": list(img_hw),
         "batch_size": batch_size,
@@ -143,7 +186,7 @@ class ServedSegmenter:
         from jax import export as jexport
 
         d = Path(artifact_dir)
-        self.manifest = json.loads((d / "manifest.json").read_text())
+        self.manifest = validate_manifest(d)
         self._exported = jexport.deserialize(
             (d / "model.stablehlo").read_bytes())
         self.batch_size = int(self.manifest["batch_size"])

@@ -36,7 +36,10 @@ from cartseg_tpu.serve.export import load_segmenter
 class MicroBatcher:
     """Generic fixed-batch collector: submit(item) -> Future; `run_fn`
     receives a list of <= batch_size items and must return one result
-    per item."""
+    per item. A returned item that IS an Exception instance resolves
+    only that request's future exceptionally (per-request error
+    isolation); a raised exception fails the whole batch (e.g. the
+    device call itself died)."""
 
     def __init__(self, run_fn, batch_size: int, max_latency_ms: float = 20.0):
         self._run = run_fn
@@ -77,7 +80,10 @@ class MicroBatcher:
             try:
                 results = self._run(items)
                 for f, r in zip(futs, results):
-                    f.set_result(r)
+                    if isinstance(r, Exception):
+                        f.set_exception(r)
+                    else:
+                        f.set_result(r)
             except Exception as e:  # noqa: BLE001 — propagate per-request
                 for f in futs:
                     f.set_exception(e)
@@ -113,8 +119,14 @@ class SegmentationService:
         probs = self.model.predict_probs(xs)
         out = []
         for p, (x, (w, h)) in zip(probs, prepped):
-            mask = (p >= self.model.threshold).astype(np.uint8) * 255
-            out.append(self._geo.remove_letterbox(mask, orig_w=w, orig_h=h))
+            # per-request isolation: one request with bad geometry must
+            # not fail its batch-mates (they share a device call only)
+            try:
+                mask = (p >= self.model.threshold).astype(np.uint8) * 255
+                out.append(self._geo.remove_letterbox(mask,
+                                                      orig_w=w, orig_h=h))
+            except Exception as e:  # noqa: BLE001
+                out.append(e)
         return out
 
     def submit(self, image: np.ndarray) -> Future:

@@ -105,16 +105,44 @@ ROWS = [
      "boundary"),
 ]
 
+# batch sweep for the EDT-loss families at the reference's primary
+# 512^2 resolution (VERDICT r3 next-round #3: bs6 is the reference's
+# VRAM-bound parity batch, train_bce_dice.py:31-34 — it undersells the
+# chip; these rows document the throughput-mode configs)
+ROWS_EDT_SWEEP = [
+    (f"bce_dice+{fam} effnet-b0", "efficientnet-b0", bs, 512, loss)
+    for fam, loss in (("ABL", "abl"), ("SDF-boundary", "boundary"))
+    for bs in (24, 48, 96)
+]
 
-def main():
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default="main",
+                    choices=["main", "edt_sweep"],
+                    help="main = the published table; edt_sweep = "
+                         "ABL/SDF batch sweep at 512^2")
+    ns = ap.parse_args(argv)
     assert jax.default_backend() == "tpu"
+    rows = ROWS if ns.rows == "main" else ROWS_EDT_SWEEP
     report = {}
-    for label, enc, bs, img, ln in ROWS:
+    for label, enc, bs, img, ln in rows:
         key = f"{label} bs{bs}@{img}"
         report[key] = bench_row(enc, bs, img, ln)
         print(key, json.dumps(report[key]), flush=True)
     out = Path(__file__).resolve().parent.parent / "docs"
-    (out / "train_table.json").write_text(json.dumps(report, indent=1))
+    name = ("train_table.json" if ns.rows == "main"
+            else "edt_batch_sweep.json")
+    path = out / name
+    if ns.rows == "edt_sweep" and path.exists():
+        try:
+            prev = json.loads(path.read_text())
+            prev.update(report)
+            report = prev
+        except Exception:
+            pass
+    path.write_text(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

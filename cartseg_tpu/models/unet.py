@@ -203,8 +203,16 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from jax.ad_checkpoint import checkpoint_name
+
         feats = self.encoder(x.astype(self.dtype), train=train)
+        # pure metadata unless a jax.checkpoint policy references the
+        # names: lets callers run segment-wise remat that saves ONLY
+        # the stage boundaries (benchmarks/remat_bench.py 'stages' lane)
+        feats = [checkpoint_name(f, f"enc_stage{i}")
+                 for i, f in enumerate(feats)]
         y = UNetDecoder(self.decoder_channels, self.dtype,
                         self.fused_decoder, name="decoder")(feats, train)
+        y = checkpoint_name(y, "decoder_out")
         return SegmentationHead(self.classes, self.dtype,
                                 name="segmentation_head")(y)

@@ -135,35 +135,88 @@ def conv_flops_in(fusion_name: str, hlo: str, defs) -> float:
     return flops
 
 
+def build_infer(img, batch, members=3):
+    """The fused pseudo-label program (ensemble + flip TTA + CC clean +
+    QC — infer/engine.py pseudo_label_program) as (fn, args, sync)."""
+    import jax.numpy as jnp
+
+    from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from cartseg_tpu.infer.engine import (EnsembleMember,
+                                          pseudo_label_program)
+    from cartseg_tpu.models import build_model, init_model
+
+    model = build_model("efficientnet-b0", dtype=jnp.bfloat16)
+    ms = []
+    for i in range(members):
+        v = init_model(model, jax.random.key(i), (1, 64, 64, 3))
+        ms.append(EnsembleMember(model, v, 1.0))
+    program = pseudo_label_program(ms, IMAGENET_MEAN, IMAGENET_STD,
+                                   int(img * img * 0.001))
+    rng = np.random.default_rng(0)
+    base = rng.random((batch, 32, 32, 3)).astype(np.float32)
+    up = np.asarray(jax.image.resize(jnp.asarray(base),
+                                     (batch, img, img, 3), "linear"))
+    imgs = jnp.asarray((up * 255).astype(np.uint8))
+    return program, (imgs, jnp.float32(0.5))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--program", default="train",
+                    choices=["train", "infer"],
+                    help="train = bench.py headline step; infer = the "
+                         "fused pseudo-label ensemble program")
+    ap.add_argument("--out", default=None,
+                    help="output json (default roofline.json for train, "
+                         "roofline_infer.json for infer)")
     ns = ap.parse_args(argv)
     assert jax.default_backend() == "tpu"
 
-    step, state = build_step(ns.img, ns.batch)
-    params, stats, opt, images, masks = state
+    if ns.program == "train":
+        step, state = build_step(ns.img, ns.batch)
+        params, stats, opt, images, masks = state
+
+        def run_once(key):
+            nonlocal params, stats, opt
+            params, stats, opt, loss = step(params, stats, opt, images,
+                                            masks, key)
+            return loss
+
+        lower_args = lambda: (params, stats, opt, images, masks,
+                              jax.random.key(0))
+        shape_desc = (f"resnet34-UNet bs{ns.batch}@{ns.img}^2 bf16 "
+                      "full step")
+    else:
+        program, (imgs, thr) = build_infer(ns.img, ns.batch)
+
+        def run_once(key):
+            pred, probs, stats_d = program(imgs, thr)
+            return stats_d["fg_area"].sum() + pred.sum()
+
+        lower_args = lambda: (imgs, thr)
+        shape_desc = (f"pseudo-label 3x effnet-b0 ensemble + TTA + CC + "
+                      f"QC bs{ns.batch}@{ns.img}^2 bf16")
+        step = program
+
     key = jax.random.key(1)
     for _ in range(3):
         key, k = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, images,
-                                        masks, k)
+        loss = run_once(k)
     float(loss)
 
     tracedir = "/tmp/roofline_trace"
     jax.profiler.start_trace(tracedir)
     for _ in range(ns.steps):
         key, k = jax.random.split(key)
-        params, stats, opt, loss = step(params, stats, opt, images,
-                                        masks, k)
+        loss = run_once(k)
     float(loss)
     jax.profiler.stop_trace()
 
-    compiled = step.lower(params, stats, opt, images, masks,
-                          jax.random.key(0)).compile()
+    compiled = step.lower(*lower_args()).compile()
     hlo = compiled.as_text()
     cost = compiled.cost_analysis()
     cost = cost[0] if isinstance(cost, (list, tuple)) else cost
@@ -204,7 +257,7 @@ def main(argv=None):
     total_flops = float(cost.get("flops", 0.0)) if cost else 0.0
     total_bytes = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
     summary = {
-        "shape": f"resnet34-UNet bs{ns.batch}@{ns.img}^2 bf16 full step",
+        "shape": shape_desc,
         "device_busy_ms_per_step": step_ms,
         "total_flops_G": round(total_flops / 1e9, 1),
         "total_bytes_GB": round(total_bytes / 1e9, 3),
@@ -218,7 +271,11 @@ def main(argv=None):
         "rows": rows,
     }
     print(json.dumps(summary, indent=1))
-    (REPO / "docs" / "roofline.json").write_text(
+    default_name = ("roofline.json" if ns.program == "train"
+                    else "roofline_infer.json")
+    if ns.program == "train" and (ns.img, ns.batch) != (224, 128):
+        default_name = f"roofline_{ns.img}_{ns.batch}.json"
+    (REPO / "docs" / (ns.out or default_name)).write_text(
         json.dumps(summary, indent=1))
 
 

@@ -82,36 +82,23 @@ def morph_close(mask, ksize: int = 7, shape: str = "ellipse"):
     return erode(dilate(mask, ksize, shape), ksize, shape)
 
 
-def _propagate(reachable, allowed, max_iter: int):
-    """Grow `reachable` through `allowed` (4-connected dilation) until
-    fixpoint or max_iter. Early-exits via while_loop change detection."""
-    def grow(r):
-        g = r
-        g = g | _shift_fill(r, 1, 0, False) | _shift_fill(r, -1, 0, False)
-        g = g | _shift_fill(r, 0, 1, False) | _shift_fill(r, 0, -1, False)
-        return g & allowed
-
-    def cond(state):
-        r, changed, i = state
-        return changed & (i < max_iter)
-
-    def body(state):
-        r, _, i = state
-        nr = grow(r)
-        return nr, jnp.any(nr != r), i + 1
-
-    r, _, _ = jax.lax.while_loop(cond, body, (reachable, jnp.bool_(True), 0))
-    return r
-
-
 def fill_holes_from_border(mask, max_iter: int = 4096):
     """Fill ALL holes: background not flood-reachable from the border
-    becomes fg — the `clean_mask` flood-fill (clean_masks.py:12-32)."""
+    becomes fg — the `clean_mask` flood-fill (clean_masks.py:12-32).
+
+    Flood-reachability from the border == "my bg component contains a
+    border pixel", computed scatter-free via the CC machinery
+    (connected_components.py design notes). 4-connectivity, matching
+    cv2.floodFill's default spread."""
+    from cartseg_tpu.ops.connected_components import (
+        connected_components, per_pixel_component_any)
+
     mask = jnp.asarray(mask, bool)
     bg = ~mask
     border = jnp.zeros_like(bg).at[0, :].set(True).at[-1, :].set(True) \
         .at[:, 0].set(True).at[:, -1].set(True)
-    outside = _propagate(border & bg, bg, max_iter)
+    labels = connected_components(bg, max_iter=max_iter, connectivity=4)
+    outside = per_pixel_component_any(labels, border & bg)
     return mask | (bg & ~outside)
 
 
@@ -120,20 +107,18 @@ def fill_small_holes(mask, max_hole_area_frac: float = 0.004,
     """Fill only holes with area <= frac * H * W, leaving big holes and
     border-touching background — `fill_small_holes`
     (clean_complete.py:69-83)."""
-    from cartseg_tpu.ops.connected_components import connected_components
+    from cartseg_tpu.ops.connected_components import (
+        connected_components, per_pixel_component_any,
+        per_pixel_component_area)
 
     mask = jnp.asarray(mask, bool)
     H, W = mask.shape
     max_area = jnp.floor(H * W * max_hole_area_frac)  # int() truncation
     bg = ~mask
     labels = connected_components(bg, max_iter=max_iter)
-    flat = labels.reshape(-1)
-    size = H * W
-    areas = jnp.zeros((size + 1,), jnp.int32).at[flat].add(
-        bg.reshape(-1).astype(jnp.int32))
+    areas = per_pixel_component_area(labels)
     border = jnp.zeros_like(bg).at[0, :].set(True).at[-1, :].set(True) \
         .at[:, 0].set(True).at[:, -1].set(True)
-    touches = jnp.zeros((size + 1,), bool).at[flat].max(
-        (border & bg).reshape(-1))
-    fill = bg & (areas[labels] <= max_area) & ~touches[labels]
+    touches = per_pixel_component_any(labels, border & bg)
+    fill = bg & (areas <= max_area) & ~touches
     return mask | fill

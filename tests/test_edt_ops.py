@@ -145,6 +145,82 @@ def test_remove_small_components(rng):
     assert out[15, 15]
 
 
+def _cv2_label_sets(m, connectivity=8):
+    num, labels = cv2.connectedComponents(m.astype(np.uint8),
+                                          connectivity=connectivity)
+    return {frozenset(np.flatnonzero(labels.reshape(-1) == k))
+            for k in range(1, num)}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_labels_partition_matches_cv2(seed):
+    """The scan-based propagation must produce cv2's exact partition —
+    random noise at several densities exercises thousands of
+    components with diagonal-only links."""
+    from cartseg_tpu.ops.connected_components import connected_components
+
+    r = np.random.default_rng(seed)
+    m = r.random((48, 56)) < (0.2 + 0.1 * seed)
+    lab = np.asarray(connected_components(jnp.asarray(m)))
+    ours = {frozenset(np.flatnonzero(lab.reshape(-1) == l))
+            for l in np.unique(lab[m])}
+    assert ours == _cv2_label_sets(m, 8)
+    # 4-connectivity lane (cv2.floodFill's spread)
+    lab4 = np.asarray(connected_components(jnp.asarray(m),
+                                           connectivity=4))
+    ours4 = {frozenset(np.flatnonzero(lab4.reshape(-1) == l))
+             for l in np.unique(lab4[m])}
+    assert ours4 == _cv2_label_sets(m, 4)
+
+
+def test_labels_spiral_worst_case():
+    """A spiral maximizes geodesic turns — the hard case for the
+    row/col-scan accelerated propagation's while_loop."""
+    from cartseg_tpu.ops.connected_components import connected_components
+
+    n = 33
+    m = np.zeros((n, n), bool)
+    top, bot, left, right = 0, n - 1, 0, n - 1
+    while top <= bot and left <= right:
+        m[top, left:right + 1] = True
+        m[top:bot + 1, right] = True
+        m[bot, left:right + 1] = True
+        m[top:bot + 1, left] = True
+        top += 2; bot -= 2; left += 2; right -= 2
+    # break the rings into ONE spiral arm
+    for i, row in enumerate(range(2, n, 2)):
+        if i % 2 == 0:
+            m[row, 0] = False
+        else:
+            m[row, n - 1] = False
+    assert int(count_components(jnp.asarray(m))) == \
+        cv2.connectedComponents(m.astype(np.uint8), connectivity=8)[0] - 1
+    lab = np.asarray(connected_components(jnp.asarray(m)))
+    ours = {frozenset(np.flatnonzero(lab.reshape(-1) == l))
+            for l in np.unique(lab[m])}
+    assert ours == _cv2_label_sets(m, 8)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_per_pixel_component_stats(seed):
+    """Sort-based per-pixel area / any-flag reduce vs a numpy oracle."""
+    from cartseg_tpu.ops.connected_components import (
+        connected_components, per_pixel_component_any,
+        per_pixel_component_area)
+
+    r = np.random.default_rng(seed)
+    m = _random_blobs(r, n=6)
+    lab = np.asarray(connected_components(jnp.asarray(m)))
+    area = np.asarray(per_pixel_component_area(jnp.asarray(lab)))
+    flags = r.random(m.shape) < 0.01
+    anyf = np.asarray(per_pixel_component_any(jnp.asarray(lab),
+                                              jnp.asarray(flags)))
+    for l in np.unique(lab[m]):
+        sel = lab == l
+        assert (area[sel] == sel.sum()).all()
+        assert (anyf[sel] == flags[sel].any()).all()
+
+
 # ----------------------------------------------------------------- edges
 
 def test_mask_boundary_is_thin(rng):

@@ -197,9 +197,9 @@ def pseudo_label_program(members: Sequence[EnsembleMember], mean, std,
     @jax.jit
     def program(images_u8, threshold):
         probs, probs_flip = forward_tta(images_u8)
-        pred = jax.vmap(
-            lambda m: remove_small_components(m, min_area))(
-                probs >= threshold)
+        # batched directly (ops take [...,H,W]) so the CC dispatch can
+        # route the whole batch into the Pallas VMEM fixpoint
+        pred = remove_small_components(probs >= threshold, min_area)
         stats = qc(probs, probs_flip, images_u8, threshold)
         stats["fg_area"] = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
         return pred, probs, stats

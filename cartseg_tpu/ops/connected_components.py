@@ -33,69 +33,124 @@ import jax.numpy as jnp
 
 
 def _shift_fill(x, dy: int, dx: int, fill):
-    out = jnp.roll(x, (dy, dx), axis=(-2, -1))
-    if dy > 0:
-        out = out.at[..., :dy, :].set(fill)
-    elif dy < 0:
-        out = out.at[..., dy:, :].set(fill)
-    if dx > 0:
-        out = out.at[..., :, :dx].set(fill)
-    elif dx < 0:
-        out = out.at[..., :, dx:].set(fill)
-    return out
+    """Shift with edge fill as concat(fill-block, slice) — ONE kernel
+    per axis. roll + .at[border].set compiles to a roll kernel PLUS a
+    full-plane dynamic-update-slice kernel just to write a k-wide
+    border; at [64,512,512] that doubled the HBM traffic of every
+    shift (the concat lane measured ~2x the roll+fill lane on chip)."""
+
+    def shift1(v, axis, k):
+        if k == 0:
+            return v
+        pad_shape = list(v.shape)
+        pad_shape[axis] = min(abs(k), v.shape[axis])
+        block = jnp.full(pad_shape, fill, v.dtype)
+        keep = v.shape[axis] - pad_shape[axis]
+        sl = [slice(None)] * v.ndim
+        if k > 0:
+            sl[axis] = slice(0, keep)
+            return jnp.concatenate([block, v[tuple(sl)]], axis=axis)
+        sl[axis] = slice(v.shape[axis] - keep, None)
+        return jnp.concatenate([v[tuple(sl)], block], axis=axis)
+
+    return shift1(shift1(x, -2, dy), -1, dx)
 
 
-def _neighbor_min(lab, mask, size, connectivity: int):
-    """One connectivity hop: min label over self + neighbors.
-    Background holds `size`, so bg neighbors never contaminate."""
+def _diag_min(lab, mask, size):
+    """Diagonal-neighbor min — the only hop the row/col run scans do
+    not subsume (lateral/vertical fg-adjacency IS same-run membership,
+    so +-1 row/col shifts would be redundant work)."""
     m = lab
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            if connectivity == 4 and dy != 0 and dx != 0:
-                continue
+    for dy in (-1, 1):
+        for dx in (-1, 1):
             m = jnp.minimum(m, _shift_fill(lab, dy, dx, size))
     return jnp.where(mask, m, size)
 
 
-def _run_min_axis(lab, fg, size, axis: int):
-    """Min label over each maximal contiguous fg run along `axis`,
-    via shift doubling: v_k[i] = min over the in-run window of length
-    <= k ending at i; r_k[i] = "position i-k is in the same run as i".
-    ceil(log2(n)) steps per direction, rolls + elementwise only."""
-    n = lab.shape[axis]
-
-    def one_direction(v, sgn: int):
+def _run_masks_axis(fg, axis: int):
+    """Precompute the shift-doubling run-connectivity masks for both
+    directions along `axis`: masks[d][j] == "position i - sgn*2^j is in
+    the same maximal fg run as i". These depend only on the (constant)
+    mask, so hoisting them out of the propagation loop removes the
+    r-shift + r&rs chain from every iteration — reading a cached bool
+    plane (1 byte/px) instead of recomputing two s32-wide passes."""
+    n = fg.shape[axis]
+    out = []
+    for sgn in (1, -1):
         r = fg & _shift_fill(fg, *((sgn, 0) if axis == -2 else (0, sgn)),
                              fill=False)
+        levels = [r]
         k = 1
-        while k < n:
+        while 2 * k < n:
+            rs = (_shift_fill(r, sgn * k, 0, False) if axis == -2
+                  else _shift_fill(r, 0, sgn * k, False))
+            r = r & rs
+            levels.append(r)
+            k *= 2
+        out.append(levels)
+    return out
+
+
+def _run_min_axis(lab, run_masks, size, axis: int):
+    """Min label over each maximal contiguous fg run along `axis`,
+    via shift doubling with precomputed run masks: v_k[i] = min over
+    the in-run window of length <= k ending at i. ceil(log2(n)) steps
+    per direction, rolls + elementwise only."""
+
+    def one_direction(v, levels, sgn: int):
+        k = 1
+        for r in levels:
             if axis == -2:
                 vs = _shift_fill(v, sgn * k, 0, size)
-                rs = _shift_fill(r, sgn * k, 0, False)
             else:
                 vs = _shift_fill(v, 0, sgn * k, size)
-                rs = _shift_fill(r, 0, sgn * k, False)
             v = jnp.where(r, jnp.minimum(v, vs), v)
-            r = r & rs
             k *= 2
         return v
 
-    return jnp.minimum(one_direction(lab, 1), one_direction(lab, -1))
+    return jnp.minimum(one_direction(lab, run_masks[0], 1),
+                       one_direction(lab, run_masks[1], -1))
 
 
 def connected_components(mask, max_iter: int = 4096,
                          connectivity: int = 8):
-    """HxW bool -> int32 labels: min-flat-index per connected component
-    on fg pixels; `size` (==H*W) on background. connectivity 8 (the
-    reference's cv2 default everywhere) or 4 (cv2.floodFill's)."""
+    """[...,H,W] bool -> int32 labels: min-flat-index per connected
+    component on fg pixels; `size` (==H*W) on background. connectivity
+    8 (the reference's cv2 default everywhere) or 4 (cv2.floodFill's).
+
+    On TPU (when one image's state fits VMEM) dispatches to the
+    VMEM-resident Pallas fixpoint (ops/pallas/cc.py — one HBM read +
+    one write instead of ~40 shift kernels per sweep); elsewhere, or
+    with CARTSEG_PALLAS_CC=0, the XLA sweep loop below (also the
+    Pallas lane's parity oracle)."""
+    import os
+
     mask = jnp.asarray(mask, bool)
     H, W = mask.shape[-2:]
+    use_pallas = (os.environ.get("CARTSEG_PALLAS_CC", "1") != "0"
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from cartseg_tpu.ops.pallas.cc import cc_batch_pallas, fits_vmem
+        if fits_vmem(H, W):
+            batched = mask.reshape(-1, H, W)
+            lab = cc_batch_pallas(batched, connectivity=connectivity,
+                                  max_iter=max_iter)
+            return lab.reshape(mask.shape)
     size = H * W
     idx = jnp.arange(size, dtype=jnp.int32).reshape(mask.shape[-2:])
     idx = jnp.broadcast_to(idx, mask.shape)
     labels = jnp.where(mask, idx, size)
+    row_masks = _run_masks_axis(mask, -1)
+    col_masks = _run_masks_axis(mask, -2)
+
+    def sweep(lab):
+        if connectivity == 8:
+            lab = _diag_min(lab, mask, size)
+        # connectivity 4 needs no neighbor hop at all: lateral/vertical
+        # adjacency is exactly same-run membership in the scans below
+        lab = _run_min_axis(lab, row_masks, size, -1)
+        lab = _run_min_axis(lab, col_masks, size, -2)
+        return jnp.where(mask, lab, size)
 
     def cond(state):
         _, changed, i = state
@@ -103,10 +158,10 @@ def connected_components(mask, max_iter: int = 4096,
 
     def body(state):
         lab, _, i = state
-        nl = _neighbor_min(lab, mask, size, connectivity)
-        nl = _run_min_axis(nl, mask, size, -1)   # along rows
-        nl = _run_min_axis(nl, mask, size, -2)   # along columns
-        nl = jnp.where(mask, nl, size)
+        # two sweeps per convergence check: the jnp.any compare-reduce
+        # re-reads both label planes, so halving its frequency is a
+        # measured win at 512^2 (idempotent once converged)
+        nl = sweep(sweep(lab))
         return nl, jnp.any(nl != lab), i + 1
 
     labels, _, _ = jax.lax.while_loop(
@@ -122,10 +177,8 @@ def _segmented_prefix(v, same, combine, identity):
     r = same
     k = 1
     while k < n:
-        vs = jnp.roll(v, k, axis=-1)
-        vs = vs.at[..., :k].set(identity)
-        rs = jnp.roll(r, k, axis=-1)
-        rs = rs.at[..., :k].set(False)
+        vs = _shift_fill(v, 0, k, identity)
+        rs = _shift_fill(r, 0, k, False)
         v = jnp.where(r, combine(v, vs), v)
         r = r & rs
         k *= 2

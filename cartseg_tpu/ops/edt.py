@@ -22,18 +22,13 @@ _INF = jnp.float32(1e12)
 
 
 def _shift2d(x, dy: int, dx: int, fill):
-    """Shift a 2-D array by (dy, dx), filling vacated cells."""
-    out = jnp.roll(x, (dy, dx), axis=(0, 1))
-    H, W = x.shape
-    if dy > 0:
-        out = out.at[:dy, :].set(fill)
-    elif dy < 0:
-        out = out.at[dy:, :].set(fill)
-    if dx > 0:
-        out = out.at[:, :dx].set(fill)
-    elif dx < 0:
-        out = out.at[:, dx:].set(fill)
-    return out
+    """Shift a 2-D array by (dy, dx), filling vacated cells — one
+    concat kernel per axis (roll + border .at[].set costs an extra
+    full-plane dynamic-update-slice per shift; see
+    connected_components._shift_fill)."""
+    from cartseg_tpu.ops.connected_components import (
+        _shift_fill as _sf)
+    return _sf(x, dy, dx, fill)
 
 
 def edt(seeds, return_indices: bool = False):

@@ -41,16 +41,12 @@ def square_kernel(ksize: int) -> tuple:
 
 
 def _shift_fill(x, dy: int, dx: int, fill):
-    out = jnp.roll(x, (dy, dx), axis=(0, 1))
-    if dy > 0:
-        out = out.at[:dy, :].set(fill)
-    elif dy < 0:
-        out = out.at[dy:, :].set(fill)
-    if dx > 0:
-        out = out.at[:, :dx].set(fill)
-    elif dx < 0:
-        out = out.at[:, dx:].set(fill)
-    return out
+    # concat(fill-block, slice) is one kernel per axis; roll + border
+    # .at[].set adds a full-plane dynamic-update-slice per shift
+    # (see connected_components._shift_fill)
+    from cartseg_tpu.ops.connected_components import (
+        _shift_fill as _sf)
+    return _sf(x, dy, dx, fill)
 
 
 def dilate(mask, ksize: int = 3, shape: str = "ellipse"):

@@ -1,0 +1,146 @@
+"""VMEM-resident connected-components propagation Pallas kernel.
+
+The XLA lane in ops/connected_components.py runs each propagation
+sweep as ~40 shift/min/select kernels over HBM — at bs64@512^2 that is
+~8 ms per sweep and the 512^2 pseudo-label QC batch spends ~190 ms in
+CC (docs/roofline_infer.json). This kernel keeps one image's label
+plane in VMEM for the ENTIRE propagation: one HBM read of the mask,
+one HBM write of the converged labels, every sweep in between at VPU
+speed. Same algorithm as the XLA lane (segmented row/col min-scans by
+shift doubling + diagonal hops, min-flat-index labels, fixpoint loop),
+so results are bit-identical — the XLA lane doubles as its oracle.
+
+Replaces cv2.connectedComponentsWithStats' labeling half on device
+(reference create_pseudo_labels.py:124-138, remove_blops.py:14-33);
+per-component statistics stay in ops/connected_components.py (sorts).
+
+Mosaic notes (v5e, jax 0.9): everything stays 2-D [h, w]; shifts are
+pltpu.roll + iota validity select (the ops/pallas/edt.py idiom — roll
+takes non-negative shifts only, and wrapped-in lanes are blanked with
+the fill value); booleans are kept as s32 0/1 planes because Mosaic
+rolls of pred arrays are not supported; the convergence any-compare
+reduces one axis at a time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cartseg_tpu.ops.pallas.common import interpret_mode
+
+_VMEM_PLANES = 10    # label plane + fg + run masks + shifted temps
+
+
+def _shift_fill(a, dy: int, dx: int, fill, rows, cols, h: int, w: int):
+    """Static-offset 2-D shift with constant fill (edt.py's _shift)."""
+    out = a
+    if dy % h:
+        out = pltpu.roll(out, dy % h, axis=0)
+    if dx % w:
+        out = pltpu.roll(out, dx % w, axis=1)
+    valid = None
+    if dy > 0:
+        valid = rows >= dy
+    elif dy < 0:
+        valid = rows < h + dy
+    if dx > 0:
+        vx = cols >= dx
+        valid = vx if valid is None else valid & vx
+    elif dx < 0:
+        vx = cols < w + dx
+        valid = vx if valid is None else valid & vx
+    return jnp.where(valid, out, fill)
+
+
+def _cc_kernel(mask_ref, lab_ref, *, h: int, w: int, connectivity: int,
+               max_iter: int):
+    size = jnp.int32(h * w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fg = mask_ref[0].astype(jnp.int32)          # 0/1 plane
+    lab0 = jnp.where(fg > 0, rows * w + cols, size)
+
+    def shift(a, dy, dx, fill):
+        return _shift_fill(a, dy, dx, fill, rows, cols, h, w)
+
+    # run-connectivity masks are recomputed in-flight each scan:
+    # precomputing the ~log2(n)-level ladders would hold 2x18 MB live
+    # in VMEM at 512^2 (measured scoped-vmem OOM over the 16 MB stack
+    # limit); in VMEM the recompute is VPU-cheap
+    def run_min(v, axis):
+        n = w if axis == 1 else h
+        for sgn in (1, -1):
+            d = (0, sgn) if axis == 1 else (sgn, 0)
+            r = fg * shift(fg, d[0], d[1], 0)
+            k = 1
+            while k < n:
+                if axis == 1:
+                    vs = shift(v, 0, sgn * k, size)
+                else:
+                    vs = shift(v, sgn * k, 0, size)
+                v = jnp.where(r > 0, jnp.minimum(v, vs), v)
+                if 2 * k < n:
+                    rs = (shift(r, 0, sgn * k, 0) if axis == 1
+                          else shift(r, sgn * k, 0, 0))
+                    r = r * rs
+                k *= 2
+        return v
+
+    def sweep(v):
+        if connectivity == 8:
+            m = v
+            for dy in (-1, 1):
+                for dx in (-1, 1):
+                    m = jnp.minimum(m, shift(v, dy, dx, size))
+            v = jnp.where(fg > 0, m, size)
+        # 4-connectivity needs no neighbor hop: lateral/vertical fg
+        # adjacency is exactly same-run membership in the scans
+        v = run_min(v, 1)
+        v = run_min(v, 0)
+        return jnp.where(fg > 0, v, size)
+
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_iter)
+
+    def body(state):
+        v, _, i = state
+        nv = sweep(v)
+        ne = (nv != v).astype(jnp.int32)
+        changed = jnp.sum(jnp.sum(ne, axis=1), axis=0) > 0
+        return nv, changed, i + 1
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab0, jnp.bool_(True), jnp.int32(0)))
+    lab_ref[0] = lab
+
+
+def fits_vmem(h: int, w: int, budget_bytes: int = 14 * 2 ** 20) -> bool:
+    return _VMEM_PLANES * h * w * 4 <= budget_bytes
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iter"))
+def cc_batch_pallas(mask, connectivity: int = 8, max_iter: int = 4096):
+    """[B,H,W] bool -> [B,H,W] s32 labels (min flat index per
+    component; H*W on background), one grid step per sample, the whole
+    fixpoint in VMEM."""
+    B, H, W = mask.shape
+    x = jnp.asarray(mask, jnp.int32)
+    return pl.pallas_call(
+        functools.partial(_cc_kernel, h=H, w=W,
+                          connectivity=connectivity, max_iter=max_iter),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret_mode(),
+    )(x)

@@ -310,6 +310,56 @@ def test_edt_batch_pallas_under_sharded_pjit():
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_cc_batch_pallas_matches_xla_lane():
+    """The VMEM-resident Pallas CC fixpoint (interpret mode here;
+    compiled in tools/run_chip_parity.py) must produce the XLA sweep
+    loop's exact labels — min flat index per component, size on bg —
+    at both connectivities, including an all-bg sample."""
+    from cartseg_tpu.ops.pallas.cc import cc_batch_pallas
+    from cartseg_tpu.ops.connected_components import connected_components
+    import os
+
+    rng = np.random.default_rng(0)
+    m = rng.random((3, 48, 64)) < 0.45
+    m[2] = False
+    for conn in (8, 4):
+        ours = np.asarray(cc_batch_pallas(jnp.asarray(m),
+                                          connectivity=conn))
+        old = os.environ.get("CARTSEG_PALLAS_CC")
+        os.environ["CARTSEG_PALLAS_CC"] = "0"
+        try:
+            ref = np.asarray(connected_components(jnp.asarray(m),
+                                                  connectivity=conn))
+        finally:
+            if old is None:
+                os.environ.pop("CARTSEG_PALLAS_CC")
+            else:
+                os.environ["CARTSEG_PALLAS_CC"] = old
+        assert (ours == ref).all()
+
+
+def test_cc_batch_pallas_under_sharded_pjit():
+    """The pseudo-label program jits CC over data-sharded batches on a
+    mesh: the Pallas fixpoint's per-sample grid must survive pjit batch
+    sharding (escape hatch: CARTSEG_PALLAS_CC=0 -> XLA lane)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from cartseg_tpu.ops.pallas.cc import cc_batch_pallas
+    from cartseg_tpu.ops.connected_components import connected_components
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rng = np.random.default_rng(3)
+    m = rng.random((16, 48, 64)) < 0.45
+    x = jax.device_put(jnp.asarray(m), sh)
+    out = np.asarray(jax.jit(
+        lambda v: cc_batch_pallas(v), in_shardings=sh,
+        out_shardings=sh)(x))
+    ref = np.asarray(connected_components(jnp.asarray(m)))
+    assert (out == ref).all()
+
+
 def test_edt_batch_dispatch_cpu_lane():
     """Off-TPU, edt_batch routes to the XLA lane and matches scipy."""
     from cartseg_tpu.ops.edt import edt_batch

@@ -212,6 +212,33 @@ def main():
     print(f"[edt] ok: {t_pal*1e3:.3f}ms vs xla {t_xla_edt*1e3:.3f}ms",
           flush=True)
 
+    # ---- VMEM-resident CC fixpoint vs the XLA sweep loop (fwd-only:
+    # CC labels are integer and feed QC gates, never gradients)
+    import os as _os
+    from cartseg_tpu.ops.connected_components import (
+        connected_components as cc_xla)
+    from cartseg_tpu.ops.pallas.cc import cc_batch_pallas
+    cc_mask = jnp.asarray(rng.random((6, 512, 512)) < 0.45)
+    print("[cc] parity ...", flush=True)
+    ours_cc = np.asarray(jax.jit(cc_batch_pallas)(cc_mask))
+    _os.environ["CARTSEG_PALLAS_CC"] = "0"
+    try:
+        ref_cc = np.asarray(jax.jit(cc_xla)(cc_mask))
+        t_xla_cc = _time_scalar_loop(
+            lambda s: jnp.sum(cc_xla(s)), (cc_mask,), k=10)
+    finally:
+        _os.environ.pop("CARTSEG_PALLAS_CC")
+    assert (ours_cc == ref_cc).all(), "pallas CC != XLA CC"
+    t_pal_cc = _time_scalar_loop(
+        lambda s: jnp.sum(cc_batch_pallas(s)), (cc_mask,), k=10)
+    rows.append(dict(kernel="cc(vmem fixpoint)", shape="B6 512x512",
+                     max_err_fwd=0.0, max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal_cc * 1e3,
+                     xla_fwd_ms=t_xla_cc * 1e3,
+                     fwd_speedup=t_xla_cc / t_pal_cc))
+    print(f"[cc] ok: {t_pal_cc*1e3:.3f}ms vs xla {t_xla_cc*1e3:.3f}ms",
+          flush=True)
+
     # ---- BN channel sums (TpuBatchNorm's reduction, models/norm.py —
     # measured SLOWER in-graph than XLA's conv+stat fusion, kept as a
     # documented experiment; this proves the kernel itself compiles and

@@ -88,10 +88,14 @@ class SamConfig:
     # (ops/pallas/flash_attention.py): never materializes the
     # (12, 4096, 4096) logits; fp32 online softmax (official numerics).
     # Trainable (custom VJP — flash backward kernels, grads parity-
-    # tested vs autodiff of the XLA lane); stays False here so the
-    # bare model's numerics are the checkpoint-faithful XLA lane by
-    # default. TpuSamPredictor defaults it ON — measured 40.1 vs
-    # 53.3 ms/img, 1.0% max rel dev (docs/sam_bench.json).
+    # tested vs autodiff of the XLA lane). Measured faster in BOTH
+    # modes — 1.33x inference (40.1 vs 53.3 ms/img,
+    # docs/sam_bench.json) and 1.09x fine-tune-shaped fwd+bwd at
+    # 1024^2 (107.6 vs 117.5 ms/step, docs/sam_train_bench.json) —
+    # but stays False on the BARE model so its numerics are the
+    # checkpoint-faithful XLA lane (1.0% max rel dev matters for
+    # conversion-parity oracles); every perf surface opts in:
+    # TpuSamPredictor defaults it ON.
     global_attn_flash: bool = False
 
     @property

@@ -135,30 +135,32 @@ def qc_stats_fn(edge_threshold: float = 120.0,
     bare body for inlining into a larger program."""
 
     def stats(probs, probs_flip, images_u8, threshold):
+        from cartseg_tpu.ops.pallas.median import median_nonneg_last_axis
+
         pred = probs >= threshold
         fg_area = jnp.mean(pred.astype(jnp.float32), axis=(1, 2))
         conf = jnp.abs(probs - 0.5) * 2.0
         B = probs.shape[0]
-        fg_conf = jnp.median(conf.reshape(B, -1), axis=1)
+        # exact np.median; VMEM selection kernel on TPU (23.5 ms of
+        # lax.sort at bs64@512^2 -> one read of the data)
+        fg_conf = median_nonneg_last_axis(conf.reshape(B, -1))
         mean_ent = jnp.mean(entropy_map(probs), axis=(1, 2))
         pred_f = probs_flip >= threshold
         inter = jnp.sum((pred & pred_f).astype(jnp.float32), axis=(1, 2))
         union = jnp.sum((pred | pred_f).astype(jnp.float32), axis=(1, 2))
         tta_iou = jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0)
 
-        def one_edge(img, m):
-            gray = rgb_to_gray(img)
-            if edge_method == "canny":
-                edges = canny_edges(gray, canny_low, canny_high)
-            else:
-                edges = sobel_edges(gray, edge_threshold)
-            boundary = mask_boundary(m)
-            tot = jnp.sum(boundary)
-            return jnp.where(tot > 0,
-                             jnp.sum(edges & boundary)
-                             / jnp.maximum(tot, 1), 0.0)
-
-        edge_hit = jax.vmap(one_edge)(images_u8.astype(jnp.float32), pred)
+        # batched (not vmapped) so the hysteresis fixpoint dispatches
+        # to the whole-batch Pallas reach kernel on TPU
+        gray = rgb_to_gray(images_u8.astype(jnp.float32))
+        if edge_method == "canny":
+            edges = canny_edges(gray, canny_low, canny_high)
+        else:
+            edges = sobel_edges(gray, edge_threshold)
+        boundary = mask_boundary(pred)
+        tot = jnp.sum(boundary.astype(jnp.float32), axis=(1, 2))
+        hits = jnp.sum((edges & boundary).astype(jnp.float32), axis=(1, 2))
+        edge_hit = jnp.where(tot > 0, hits / jnp.maximum(tot, 1), 0.0)
         return {"fg_area": fg_area, "fg_conf": fg_conf,
                 "mean_entropy": mean_ent, "tta_iou": tta_iou,
                 "edge_hit": edge_hit}

@@ -219,9 +219,28 @@ def _label_reduce(labels, values, kind: str):
 def per_pixel_component_area(labels):
     """int32 [..HW..] -> area (pixel count) of each pixel's component.
     Background pixels get the background-'component' count — callers
-    mask with fg."""
-    ones = jnp.ones(labels.shape, jnp.int32)
-    return _label_reduce(labels, ones, "sum")
+    mask with fg.
+
+    Leaner than _label_reduce(ones): the count of a label run in sorted
+    order is (run end - run start + 1) over the implicit position iota,
+    so no value operand rides through the big sort and the segmented
+    combine collapses to one cummax + one cummin."""
+    shape = labels.shape
+    lf = labels.reshape(*shape[:-2], -1)
+    n = lf.shape[-1]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), lf.shape)
+    s, p = jax.lax.sort((lf, iota), dimension=-1, num_keys=1)
+    first = jnp.concatenate(
+        [jnp.ones((*s.shape[:-1], 1), bool), s[..., 1:] != s[..., :-1]],
+        axis=-1)
+    last = jnp.concatenate(
+        [first[..., 1:], jnp.ones((*s.shape[:-1], 1), bool)], axis=-1)
+    start = jax.lax.cummax(jnp.where(first, iota, -1), axis=lf.ndim - 1)
+    end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(last, iota, n), -1), axis=lf.ndim - 1), -1)
+    area = end - start + 1
+    _, out = jax.lax.sort((p, area), dimension=-1, num_keys=1)
+    return out.reshape(shape)
 
 
 def per_pixel_component_any(labels, flags):

@@ -29,12 +29,13 @@ def rgb_to_gray(rgb):
 
 
 def _conv3(img, kernel):
-    img4 = img[None, :, :, None]
+    shape = img.shape
+    img4 = img.reshape(-1, *shape[-2:])[..., None]
     k4 = kernel[:, :, None, None]
     out = jax.lax.conv_general_dilated(
         img4, k4, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return out[0, :, :, 0]
+    return out[..., 0].reshape(shape)
 
 
 def sobel_edges(gray, threshold: float = 120.0):
@@ -48,30 +49,28 @@ def sobel_edges(gray, threshold: float = 120.0):
 
 
 def _shift(a, dy: int, dx: int):
-    """Shift a 2-D array, zero-filling vacated cells (static shifts)."""
-    H, W = a.shape
-    out = jnp.zeros_like(a)
-    ys = slice(max(dy, 0), H + min(dy, 0))
-    xs = slice(max(dx, 0), W + min(dx, 0))
-    ys_src = slice(max(-dy, 0), H + min(-dy, 0))
-    xs_src = slice(max(-dx, 0), W + min(-dx, 0))
-    return out.at[ys, xs].set(a[ys_src, xs_src])
+    """Shift over the last two axes, zero-filling vacated cells."""
+    from cartseg_tpu.ops.connected_components import _shift_fill
+    return _shift_fill(a, dy, dx, 0)
 
 
 def _sobel_replicate(gray):
     """Sobel-3 dx, dy with replicate border (cv2 BORDER_REPLICATE, the
-    border cv2.Canny uses). Returns (gx, gy) float32."""
-    g = jnp.pad(jnp.asarray(gray, jnp.float32), 1, mode="edge")
-    g4 = g[None, :, :, None]
+    border cv2.Canny uses). Batched over leading dims. Returns
+    (gx, gy) float32."""
+    gray = jnp.asarray(gray, jnp.float32)
+    pad = [(0, 0)] * (gray.ndim - 2) + [(1, 1), (1, 1)]
+    g = jnp.pad(gray, pad, mode="edge")
+    g4 = g.reshape(-1, *g.shape[-2:])[..., None]
     kx = _SOBEL_X[:, :, None, None]
     ky = _SOBEL_Y[:, :, None, None]
     gx = jax.lax.conv_general_dilated(
         g4, kx, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
     gy = jax.lax.conv_general_dilated(
         g4, ky, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))[0, :, :, 0]
-    return gx, gy
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))[..., 0]
+    return gx.reshape(gray.shape), gy.reshape(gray.shape)
 
 
 def canny_edges(gray, low: float = 50.0, high: float = 150.0,
@@ -80,8 +79,12 @@ def canny_edges(gray, low: float = 50.0, high: float = 150.0,
     Sobel-3 (replicate border), L1 magnitude |gx|+|gy| (cv2 default
     L2gradient=False), 4-sector non-maximum suppression, and hysteresis
     (edges = pixels above `high`, plus above-`low` pixels 8-connected
-    to one through other above-`low` pixels), realised as a masked
-    dilation fixpoint under lax.while_loop. Reference QC gate:
+    to one through other above-`low` pixels). Batched over leading
+    dims. Hysteresis is a reachability fixpoint: on TPU it runs as the
+    VMEM-resident Pallas min-propagation (ops/pallas/cc.py
+    reach_batch_pallas — one HBM round trip for the whole fixpoint);
+    elsewhere (or CARTSEG_PALLAS_CC=0) as a masked-dilation
+    lax.while_loop over HBM. Reference QC gate:
     create_pseudo_labels.py:178-189 uses Canny(50,150)."""
     gx, gy = _sobel_replicate(gray)
     mag = jnp.abs(gx) + jnp.abs(gy)
@@ -109,6 +112,23 @@ def canny_edges(gray, low: float = 50.0, high: float = 150.0,
 
     strong = keep & (mag > high)
     weak = keep & (mag > low)
+    return _hysteresis(weak, strong, max_hysteresis_iters)
+
+
+def _hysteresis(weak, strong, max_iters: int = 256):
+    """weak/strong [...,H,W] bool -> weak pixels 8-connected to a
+    strong pixel through weak pixels."""
+    import os
+
+    H, W = weak.shape[-2:]
+    use_pallas = (os.environ.get("CARTSEG_PALLAS_CC", "1") != "0"
+                  and jax.default_backend() == "tpu")
+    if use_pallas:
+        from cartseg_tpu.ops.pallas.cc import reach_batch_pallas, fits_vmem
+        if fits_vmem(H, W):
+            out = reach_batch_pallas(weak.reshape(-1, H, W),
+                                     strong.reshape(-1, H, W))
+            return out.reshape(weak.shape)
 
     def body(state):
         cur, _, i = state
@@ -119,7 +139,7 @@ def canny_edges(gray, low: float = 50.0, high: float = 150.0,
 
     def cond(state):
         _, delta, i = state
-        return (delta > 0) & (i < max_hysteresis_iters)
+        return (delta > 0) & (i < max_iters)
 
     init = (strong, jnp.array(1, jnp.int32), jnp.array(0, jnp.int32))
     final, _, _ = jax.lax.while_loop(cond, body, init)

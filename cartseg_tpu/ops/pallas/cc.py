@@ -57,13 +57,14 @@ def _shift_fill(a, dy: int, dx: int, fill, rows, cols, h: int, w: int):
     return jnp.where(valid, out, fill)
 
 
-def _cc_kernel(mask_ref, lab_ref, *, h: int, w: int, connectivity: int,
+def _propagate(fg, lab0, *, h: int, w: int, connectivity: int,
                max_iter: int):
+    """Min-propagation fixpoint of lab0 over the fg domain — the shared
+    VMEM core of connected-components labeling (lab0 = flat index) and
+    hysteresis reachability (lab0 = 0 at seeds)."""
     size = jnp.int32(h * w)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    fg = mask_ref[0].astype(jnp.int32)          # 0/1 plane
-    lab0 = jnp.where(fg > 0, rows * w + cols, size)
 
     def shift(a, dy, dx, fill):
         return _shift_fill(a, dy, dx, fill, rows, cols, h, w)
@@ -117,7 +118,29 @@ def _cc_kernel(mask_ref, lab_ref, *, h: int, w: int, connectivity: int,
 
     lab, _, _ = jax.lax.while_loop(
         cond, body, (lab0, jnp.bool_(True), jnp.int32(0)))
-    lab_ref[0] = lab
+    return lab
+
+
+def _cc_kernel(mask_ref, lab_ref, *, h: int, w: int, connectivity: int,
+               max_iter: int):
+    size = jnp.int32(h * w)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    fg = mask_ref[0].astype(jnp.int32)          # 0/1 plane
+    lab0 = jnp.where(fg > 0, rows * w + cols, size)
+    lab_ref[0] = _propagate(fg, lab0, h=h, w=w, connectivity=connectivity,
+                            max_iter=max_iter)
+
+
+def _reach_kernel(weak_ref, strong_ref, out_ref, *, h: int, w: int,
+                  connectivity: int, max_iter: int):
+    size = jnp.int32(h * w)
+    fg = weak_ref[0].astype(jnp.int32)
+    seed = strong_ref[0].astype(jnp.int32)
+    lab0 = jnp.where((fg > 0) & (seed > 0), 0, size)
+    lab = _propagate(fg, lab0, h=h, w=w, connectivity=connectivity,
+                     max_iter=max_iter)
+    out_ref[0] = ((fg > 0) & (lab == 0)).astype(jnp.int32)
 
 
 def fits_vmem(h: int, w: int, budget_bytes: int = 14 * 2 ** 20) -> bool:
@@ -144,3 +167,30 @@ def cc_batch_pallas(mask, connectivity: int = 8, max_iter: int = 4096):
             vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret_mode(),
     )(x)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iter"))
+def reach_batch_pallas(weak, strong, connectivity: int = 8,
+                       max_iter: int = 4096):
+    """[B,H,W] bool x2 -> [B,H,W] bool: pixels of `weak` connected to a
+    `strong` pixel through weak pixels (seeds outside `weak` are
+    ignored). The Canny double-threshold hysteresis rule
+    (ops/edges.py:canny_edges; cv2.Canny semantics) as ONE VMEM-resident
+    fixpoint instead of a batched dilate-while-loop over HBM."""
+    B, H, W = weak.shape
+    out = pl.pallas_call(
+        functools.partial(_reach_kernel, h=H, w=W,
+                          connectivity=connectivity, max_iter=max_iter),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret_mode(),
+    )(jnp.asarray(weak, jnp.int32), jnp.asarray(strong, jnp.int32))
+    return out.astype(bool)

@@ -112,3 +112,35 @@ def test_canny_hysteresis_connects_weak_chains():
     img2[:, 20:] = 30.0
     got2 = np.asarray(canny_edges(jnp.asarray(img2), 50.0, 150.0))
     assert not got2.any(), "isolated weak edge must be suppressed"
+
+
+def test_canny_batched_matches_per_image(rng=None):
+    """canny_edges on a [B,H,W] stack must equal per-image results (the
+    fused QC program feeds the whole batch through one call so the
+    hysteresis fixpoint can run as one Pallas dispatch on TPU)."""
+    r = np.random.default_rng(11)
+    imgs = (r.random((4, 48, 64)) * 255).astype(np.float32)
+    imgs[1, 10:30, 20:40] += 150.0
+    batched = np.asarray(canny_edges(jnp.asarray(imgs), 50.0, 150.0))
+    for b in range(imgs.shape[0]):
+        single = np.asarray(canny_edges(jnp.asarray(imgs[b]), 50.0, 150.0))
+        np.testing.assert_array_equal(batched[b], single)
+
+
+def test_reach_kernel_matches_dilation_fixpoint():
+    """Interpret-mode Pallas hysteresis reachability vs the masked
+    dilation while_loop it replaces (bit-identical fixpoints)."""
+    from cartseg_tpu.ops.edges import _hysteresis
+    from cartseg_tpu.ops.pallas.cc import reach_batch_pallas
+
+    r = np.random.default_rng(5)
+    weak = r.random((3, 40, 56)) < 0.45
+    strong = weak & (r.random((3, 40, 56)) < 0.15)
+    want = np.asarray(_hysteresis(jnp.asarray(weak), jnp.asarray(strong)))
+    got = np.asarray(reach_batch_pallas(jnp.asarray(weak),
+                                        jnp.asarray(strong)))
+    np.testing.assert_array_equal(got, want)
+    # seeds outside weak must be ignored
+    got2 = np.asarray(reach_batch_pallas(
+        jnp.asarray(weak), jnp.asarray(strong | ~weak)))
+    np.testing.assert_array_equal(got2, want)

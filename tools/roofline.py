@@ -63,10 +63,16 @@ def shape_bytes(shape_str: str) -> int:
 
 
 def parse_defs(hlo: str):
-    """name -> (shape_str, full_line) for every HLO instruction."""
+    """name -> (shape_str, full_line) for every HLO instruction.
+
+    Tuple shapes may nest parens inside layout annotations (e.g.
+    `(s32[...]{1,0:T(8,128)}, ...)`), so the tuple alternative allows
+    one level of nesting — without it every sort/while row degraded to
+    'no HLO def' in the roofline table."""
     defs = {}
     for m in re.finditer(
-            r"^\s*(?:ROOT )?%?([\w.\-]+) = (\([^)]*\)|\S+) ([a-z][\w\-]*)\(",
+            r"^\s*(?:ROOT )?%?([\w.\-]+) = "
+            r"(\((?:[^()]|\([^()]*\))*\)|\S+) ([a-z][\w\-]*)\(",
             hlo, re.M):
         defs[m.group(1)] = (m.group(2), m.group(0), m.group(3))
     return defs

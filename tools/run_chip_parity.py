@@ -239,6 +239,56 @@ def main():
     print(f"[cc] ok: {t_pal_cc*1e3:.3f}ms vs xla {t_xla_cc*1e3:.3f}ms",
           flush=True)
 
+    # ---- hysteresis reachability (Canny QC gate) vs the masked-
+    # dilation while_loop lane (fwd-only: boolean output)
+    from cartseg_tpu.ops.edges import _hysteresis
+    from cartseg_tpu.ops.pallas.cc import reach_batch_pallas
+    rweak = jnp.asarray(rng.random((6, 512, 512)) < 0.35)
+    rstrong = jnp.asarray(
+        np.asarray(rweak) & (rng.random((6, 512, 512)) < 0.1))
+    print("[reach] parity ...", flush=True)
+    ours_r = np.asarray(jax.jit(reach_batch_pallas)(rweak, rstrong))
+    _os.environ["CARTSEG_PALLAS_CC"] = "0"
+    try:
+        ref_r = np.asarray(jax.jit(_hysteresis)(rweak, rstrong))
+        t_xla_r = _time_scalar_loop(
+            lambda a, b: jnp.sum(_hysteresis(a, b).astype(jnp.int32)),
+            (rweak, rstrong), k=10)
+    finally:
+        _os.environ.pop("CARTSEG_PALLAS_CC")
+    assert (ours_r == ref_r).all(), "pallas reach != dilation fixpoint"
+    t_pal_r = _time_scalar_loop(
+        lambda a, b: jnp.sum(reach_batch_pallas(a, b).astype(jnp.int32)),
+        (rweak, rstrong), k=10)
+    rows.append(dict(kernel="reach(canny hysteresis)", shape="B6 512x512",
+                     max_err_fwd=0.0, max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal_r * 1e3, xla_fwd_ms=t_xla_r * 1e3,
+                     fwd_speedup=t_xla_r / t_pal_r))
+    print(f"[reach] ok: {t_pal_r*1e3:.3f}ms vs xla {t_xla_r*1e3:.3f}ms",
+          flush=True)
+
+    # ---- exact-median selection kernel vs jnp.median's sort (fwd-only:
+    # QC statistic)
+    from cartseg_tpu.ops.pallas.median import _median_pallas
+    med_x = jnp.asarray(
+        np.clip(np.abs(rng.normal(size=(64, 512 * 512))) * 0.5, 0, 1),
+        jnp.float32)
+    print("[median] parity ...", flush=True)
+    ours_m = np.asarray(_median_pallas(med_x))
+    ref_m = np.median(np.asarray(med_x), axis=-1)
+    assert (ours_m == ref_m.astype(np.float32)).all(), "median mismatch"
+    t_pal_m = _time_scalar_loop(
+        lambda a: jnp.sum(_median_pallas(a)), (med_x,), k=10)
+    t_xla_m = _time_scalar_loop(
+        lambda a: jnp.sum(jnp.median(a, axis=-1)), (med_x,), k=10)
+    rows.append(dict(kernel="median(bit bisection)", shape="64x262144",
+                     max_err_fwd=float(np.max(np.abs(ours_m - ref_m))),
+                     max_err_grad=0.0,
+                     pallas_fwd_ms=t_pal_m * 1e3, xla_fwd_ms=t_xla_m * 1e3,
+                     fwd_speedup=t_xla_m / t_pal_m))
+    print(f"[median] ok: {t_pal_m*1e3:.3f}ms vs xla {t_xla_m*1e3:.3f}ms",
+          flush=True)
+
     # ---- BN channel sums (TpuBatchNorm's reduction, models/norm.py —
     # measured SLOWER in-graph than XLA's conv+stat fusion, kept as a
     # documented experiment; this proves the kernel itself compiles and

@@ -201,7 +201,12 @@ def _label_reduce(labels, values, kind: str):
     vf = values.reshape(*shape[:-2], -1)
     n = lf.shape[-1]
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), lf.shape)
-    s, v, p = jax.lax.sort((lf, vf, pos), dimension=-1, num_keys=1)
+    # unstable: the segmented combine is commutative, so the order of
+    # equal-label entries is irrelevant — and XLA's stable-sort
+    # lowering materializes an extra internal iota operand (one more
+    # full array through every compare-exchange pass)
+    s, v, p = jax.lax.sort((lf, vf, pos), dimension=-1, num_keys=1,
+                           is_stable=False)
     same = jnp.concatenate(
         [jnp.zeros((*s.shape[:-1], 1), bool), s[..., 1:] == s[..., :-1]],
         axis=-1)
@@ -212,7 +217,9 @@ def _label_reduce(labels, values, kind: str):
         jnp.flip(v, -1), jnp.flip(same_next, -1), combine, identity), -1)
     # pre and suf both include v itself
     total = pre + suf - v if kind == "sum" else pre | suf
-    _, out = jax.lax.sort((p, total), dimension=-1, num_keys=1)
+    # p is a permutation (all keys distinct) — stability buys nothing
+    _, out = jax.lax.sort((p, total), dimension=-1, num_keys=1,
+                          is_stable=False)
     return out.reshape(shape)
 
 
@@ -225,11 +232,24 @@ def per_pixel_component_area(labels):
     order is (run end - run start + 1) over the implicit position iota,
     so no value operand rides through the big sort and the segmented
     combine collapses to one cummax + one cummin."""
+    area, p, _ = _sorted_component_area(labels)
+    _, out = jax.lax.sort((p, area), dimension=-1, num_keys=1,
+                          is_stable=False)
+    return out.reshape(labels.shape)
+
+
+def _sorted_component_area(labels):
+    """Sort labels (unstable — run lengths don't care about the order
+    of equal keys, and XLA's stable lowering drags an extra internal
+    iota operand through every pass); return (area, positions) in
+    sorted order plus the flattened length. area[i] = pixel count of
+    the component whose label sits at sorted slot i."""
     shape = labels.shape
     lf = labels.reshape(*shape[:-2], -1)
     n = lf.shape[-1]
     iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), lf.shape)
-    s, p = jax.lax.sort((lf, iota), dimension=-1, num_keys=1)
+    s, p = jax.lax.sort((lf, iota), dimension=-1, num_keys=1,
+                        is_stable=False)
     first = jnp.concatenate(
         [jnp.ones((*s.shape[:-1], 1), bool), s[..., 1:] != s[..., :-1]],
         axis=-1)
@@ -238,9 +258,21 @@ def per_pixel_component_area(labels):
     start = jax.lax.cummax(jnp.where(first, iota, -1), axis=lf.ndim - 1)
     end = jnp.flip(jax.lax.cummin(
         jnp.flip(jnp.where(last, iota, n), -1), axis=lf.ndim - 1), -1)
-    area = end - start + 1
-    _, out = jax.lax.sort((p, area), dimension=-1, num_keys=1)
-    return out.reshape(shape)
+    return end - start + 1, p, n
+
+
+def component_area_at_least(labels, min_area: int):
+    """bool [..HW..]: does the pixel's component have >= min_area
+    pixels? Same two-sort structure as per_pixel_component_area, but
+    the answer is thresholded in SORTED space and the un-sort packs
+    the bool into its own key (p*2 + keep, 19 bits — positions are a
+    permutation, so sorted slot i holds key p==i and the flag is just
+    `& 1`): a single-operand unstable sort instead of a key+payload
+    sort — half the arrays through the un-sort's compare-exchanges."""
+    area, p, n = _sorted_component_area(labels)
+    keep = (area >= jnp.int32(min_area)).astype(jnp.int32)
+    packed = jax.lax.sort(p * 2 + keep, dimension=-1, is_stable=False)
+    return (packed & 1).astype(bool).reshape(labels.shape)
 
 
 def per_pixel_component_any(labels, flags):
@@ -253,8 +285,7 @@ def remove_small_components(mask, min_area: int, max_iter: int = 4096):
     (create_pseudo_labels.py:124-138)."""
     mask = jnp.asarray(mask, bool)
     labels = connected_components(mask, max_iter)
-    area = per_pixel_component_area(labels)
-    return mask & (area >= min_area)
+    return mask & component_area_at_least(labels, min_area)
 
 
 def count_components(mask, max_iter: int = 4096):

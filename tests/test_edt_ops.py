@@ -145,6 +145,23 @@ def test_remove_small_components(rng):
     assert out[15, 15]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_component_area_at_least_matches_general_path(seed):
+    """Packed single-operand un-sort == thresholded general area op,
+    incl. batched input and cv2-checked via remove_small_components."""
+    from cartseg_tpu.ops.connected_components import (
+        component_area_at_least, connected_components,
+        per_pixel_component_area)
+
+    r = np.random.default_rng(seed)
+    m = np.stack([_random_blobs(r, n=6), r.random((64, 64)) < 0.35])
+    lab = connected_components(jnp.asarray(m))
+    for t in (1, 10, 40):
+        got = np.asarray(component_area_at_least(lab, t))
+        want = np.asarray(per_pixel_component_area(lab)) >= t
+        assert (got == want).all()
+
+
 def _cv2_label_sets(m, connectivity=8):
     num, labels = cv2.connectedComponents(m.astype(np.uint8),
                                           connectivity=connectivity)

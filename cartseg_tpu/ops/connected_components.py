@@ -191,6 +191,15 @@ def _label_reduce(labels, values, kind: str):
     combine over the (now contiguous) label runs -> sort back by
     position. No scatters, no gathers."""
     if kind == "sum":
+        # the segmented combine is applied in unstable-sort order, which
+        # is only order-insensitive for exactly-associative dtypes; a
+        # float sum here would be reassociation-nondeterministic
+        if not (jnp.issubdtype(values.dtype, jnp.integer)
+                or values.dtype == jnp.bool_):
+            raise TypeError(
+                f"_label_reduce(kind='sum') needs int/bool values, got "
+                f"{values.dtype} (unstable sort order would make a float "
+                "sum nondeterministic)")
         combine, identity = jnp.add, jnp.int32(0)
     elif kind == "any":
         combine, identity = jnp.logical_or, False
@@ -269,6 +278,11 @@ def component_area_at_least(labels, min_area: int):
     permutation, so sorted slot i holds key p==i and the flag is just
     `& 1`): a single-operand unstable sort instead of a key+payload
     sort — half the arrays through the un-sort's compare-exchanges."""
+    H, W = labels.shape[-2:]
+    # packed key is p*2 + keep with p < H*W: needs H*W*2 <= 2^31
+    assert H * W < 2 ** 30, (
+        f"component_area_at_least: {H}x{W} plane overflows the int32 "
+        "p*2+keep packing (H*W must be < 2^30)")
     area, p, n = _sorted_component_area(labels)
     keep = (area >= jnp.int32(min_area)).astype(jnp.int32)
     packed = jax.lax.sort(p * 2 + keep, dimension=-1, is_stable=False)

@@ -150,18 +150,27 @@ def tpu_inference_images_per_sec() -> float:
                                   "linear"))
     imgs = jnp.asarray((up * 255).astype(np.uint8))
 
-    acc = 0.0
+    # Consume each step WITHOUT extra per-step dispatches: fg_area is
+    # computed from the cleaned pred (which depends on probs through
+    # the whole program), so collecting the [B] device arrays and
+    # summing them ONCE at the end syncs the full chain. The round-4
+    # loop instead issued `acc + stats.sum() + pred.sum() + probs[0,0,0]`
+    # — THREE extra ~19 ms fixed-overhead launches per step, which was
+    # the entire 62 ms/batch wall-vs-device-busy gap VERDICT r4 flagged
+    # (docs/BENCHMARKS.md "Dispatch accounting").
+    accs = []
     for _ in range(INFER_WARMUP):
         pred, probs, stats = program(imgs, 0.5)
-        acc = acc + stats["fg_area"].sum()
-    float(acc)  # readback sync (block_until_ready is a no-op here)
+        accs.append(stats["fg_area"])
+    float(jnp.stack(accs).sum())  # readback sync (block_until_ready
+    # is a no-op through the axon relay)
 
     t0 = time.time()
-    acc = 0.0
+    accs = []
     for _ in range(INFER_STEPS):
         pred, probs, stats = program(imgs, 0.5)
-        acc = acc + stats["fg_area"].sum() + pred.sum() + probs[0, 0, 0]
-    float(acc)
+        accs.append(stats["fg_area"])
+    float(jnp.stack(accs).sum())
     dt = time.time() - t0
     return INFER_BATCH * INFER_STEPS / dt
 

@@ -270,23 +270,58 @@ def _sorted_component_area(labels):
     return end - start + 1, p, n
 
 
-def component_area_at_least(labels, min_area: int):
-    """bool [..HW..]: does the pixel's component have >= min_area
-    pixels? Same two-sort structure as per_pixel_component_area, but
-    the answer is thresholded in SORTED space and the un-sort packs
-    the bool into its own key (p*2 + keep, 19 bits — positions are a
-    permutation, so sorted slot i holds key p==i and the flag is just
-    `& 1`): a single-operand unstable sort instead of a key+payload
-    sort — half the arrays through the un-sort's compare-exchanges."""
+def _rle_enabled() -> bool:
+    import os
+    return os.environ.get("CARTSEG_RLE_AREA", "1") != "0"
+
+
+def _pixel_sort_area_at_least(labels, min_area: int):
+    """Full-plane two-sort lane — the RLE lane's exact oracle and its
+    lax.cond fallback for pathologically fragmented masks."""
+    area, p, n = _sorted_component_area(labels)
+    keep = (area >= jnp.int32(min_area)).astype(jnp.int32)
+    packed = jax.lax.sort(p * 2 + keep, dimension=-1, is_stable=False)
+    return (packed & 1).astype(bool).reshape(labels.shape)
+
+
+def component_area_at_least(labels, min_area: int, rle_k: int = 64):
+    """bool [..HW..]: does the pixel's FG component have >= min_area
+    pixels? Background pixels are always False (they have no
+    component; before round 5 the pixel-sort lane leaked the
+    bg-"component" count there and callers masked it off — now both
+    lanes agree and the mask is built in).
+
+    Default lane: run-length compaction (ops/cc_stats_rle.py) — sorts
+    the <=rle_k-runs-per-row table instead of the pixel plane (the two
+    full-plane sorts cost 43.3 ms/batch at bs64@512^2,
+    docs/roofline_infer.json round 4). A cheap max-runs-per-row check
+    lax.conds to the pixel-sort lane when any row exceeds rle_k, so the
+    result is exact for arbitrary masks. CARTSEG_RLE_AREA=0 restores
+    the pixel-sort lane outright.
+
+    Pixel-sort lane: same two-sort structure as
+    per_pixel_component_area, but the answer is thresholded in SORTED
+    space and the un-sort packs the bool into its own key (p*2 + keep —
+    positions are a permutation, so sorted slot i holds key p==i and
+    the flag is just `& 1`): a single-operand unstable sort instead of
+    a key+payload sort."""
+    from cartseg_tpu.ops.cc_stats_rle import (
+        max_runs_per_row, rle_area_at_least, rle_fits)
+
     H, W = labels.shape[-2:]
     # packed key is p*2 + keep with p < H*W: needs H*W*2 <= 2^31
     assert H * W < 2 ** 30, (
         f"component_area_at_least: {H}x{W} plane overflows the int32 "
         "p*2+keep packing (H*W must be < 2^30)")
-    area, p, n = _sorted_component_area(labels)
-    keep = (area >= jnp.int32(min_area)).astype(jnp.int32)
-    packed = jax.lax.sort(p * 2 + keep, dimension=-1, is_stable=False)
-    return (packed & 1).astype(bool).reshape(labels.shape)
+    fg = labels < H * W
+    if not (_rle_enabled() and rle_k < W and rle_fits(H, W, rle_k)):
+        return _pixel_sort_area_at_least(labels, min_area) & fg
+    nmax = max_runs_per_row(labels, H * W)
+    return jax.lax.cond(
+        nmax <= rle_k,
+        lambda l: rle_area_at_least(l, min_area, rle_k),
+        lambda l: _pixel_sort_area_at_least(l, min_area) & fg,
+        labels)
 
 
 def per_pixel_component_any(labels, flags):
@@ -312,17 +347,45 @@ def count_components(mask, max_iter: int = 4096):
     return jnp.sum(roots)
 
 
-def keep_largest_component(mask, max_iter: int = 4096):
-    """Keep only the largest fg component
-    (remove_blops.py:14-33, clean_complete.py:85-91). Empty in, empty
-    out. On area ties cv2 keeps the first (smallest) label; the min
-    over tied labels reproduces that."""
-    mask = jnp.asarray(mask, bool)
-    H, W = mask.shape[-2:]
-    size = H * W
-    labels = connected_components(mask, max_iter)
+def _pixel_sort_largest(mask, labels, size):
+    """Full-plane lane of keep_largest_component (oracle/fallback).
+    NOTE: reduces over ALL leading axes (historical behavior — callers
+    batch via vmap); the RLE lane matches it by reducing per image and
+    then taking the global argmax only when unbatched, so both lanes
+    agree on the [H,W] inputs the cleaners pass."""
     area = jnp.where(mask, per_pixel_component_area(labels), 0)
     best_area = jnp.max(area)
     tied = mask & (area == best_area)
     best_label = jnp.min(jnp.where(tied, labels, size))
     return mask & (labels == best_label) & (best_area > 0)
+
+
+def keep_largest_component(mask, max_iter: int = 4096, rle_k: int = 64):
+    """Keep only the largest fg component
+    (remove_blops.py:14-33, clean_complete.py:85-91). Empty in, empty
+    out. On area ties cv2 keeps the first (smallest) label; the min
+    over tied labels reproduces that.
+
+    Default lane: run-space reductions (ops/cc_stats_rle.py) — the best
+    (area, label) pair falls out of the compacted run table with no
+    un-sort or pixel route-back at all; lax.cond falls back to the
+    full-plane lane when any row has more than rle_k runs."""
+    from cartseg_tpu.ops.cc_stats_rle import (
+        max_runs_per_row, rle_fits, rle_largest_label)
+
+    mask = jnp.asarray(mask, bool)
+    H, W = mask.shape[-2:]
+    size = H * W
+    labels = connected_components(mask, max_iter)
+    if not (_rle_enabled() and rle_k < W and rle_fits(H, W, rle_k)
+            and mask.ndim == 2):
+        return _pixel_sort_largest(mask, labels, size)
+
+    def fast(l):
+        best_label, best_area = rle_largest_label(l, rle_k)
+        return mask & (l == best_label) & (best_area > 0)
+
+    nmax = max_runs_per_row(labels, size)
+    return jax.lax.cond(nmax <= rle_k, fast,
+                        lambda l: _pixel_sort_largest(mask, l, size),
+                        labels)

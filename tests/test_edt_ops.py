@@ -158,7 +158,9 @@ def test_component_area_at_least_matches_general_path(seed):
     lab = connected_components(jnp.asarray(m))
     for t in (1, 10, 40):
         got = np.asarray(component_area_at_least(lab, t))
-        want = np.asarray(per_pixel_component_area(lab)) >= t
+        # bg is always False under the round-5 contract (the general
+        # area op still reports the bg-"component" count there)
+        want = (np.asarray(per_pixel_component_area(lab)) >= t) & m
         assert (got == want).all()
 
 

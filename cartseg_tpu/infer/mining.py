@@ -51,6 +51,89 @@ class MiningConfig:
     preview_top_k: int = 50
 
 
+def _metrics_body(threshold: float, delta: float):
+    """Batched metrics body (no per-image vmap): both CC passes run on
+    the whole [B,H,W] batch so they dispatch to the Pallas VMEM CC
+    fixpoint on TPU, exactly like the pseudo-label program's cleanup —
+    the round-4 version vmapped count_components/fill_holes per image,
+    which kept the label propagation in the XLA while_loop lane."""
+
+    def metrics(probs, probs_flip):
+        from cartseg_tpu.ops.connected_components import (
+            connected_components, per_pixel_component_any)
+
+        p_mean = (probs + probs_flip) / 2.0
+        ent = jnp.mean(entropy_map(p_mean, 1e-7), axis=(1, 2))
+        near = jnp.mean((jnp.abs(p_mean - 0.5) < delta)
+                        .astype(jnp.float32), axis=(1, 2))
+        var = jnp.mean(jnp.stack([probs, probs_flip]).var(axis=0),
+                       axis=(1, 2))
+        m01 = p_mean > threshold
+        B, H, W = m01.shape
+
+        # component count: roots of the min-index labeling, per image
+        labels = connected_components(m01)
+        idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+        comps = jnp.sum((m01 & (labels == idx)).astype(jnp.int32),
+                        axis=(1, 2))
+
+        # hole fraction: bg not flood-reachable from the border
+        # (4-connectivity, as cv2.floodFill — morphology.py
+        # fill_holes_from_border, batched inline)
+        bg = ~m01
+        border = jnp.zeros((H, W), bool).at[0, :].set(True) \
+            .at[-1, :].set(True).at[:, 0].set(True).at[:, -1].set(True)
+        labels_bg = connected_components(bg, connectivity=4)
+        outside = per_pixel_component_any(labels_bg, border & bg)
+        holes = bg & ~outside
+        area = jnp.sum(m01, axis=(1, 2))
+        hole_frac = jnp.where(
+            area > 0,
+            jnp.sum(holes, axis=(1, 2)) / jnp.maximum(area, 1), 0.0)
+
+        per = jnp.sum(mask_boundary(m01), axis=(1, 2))
+        per_area = jnp.where(
+            area > 0, per / (area.astype(jnp.float32) + 1e-7), 0.0)
+
+        score = (0.35 * ent + 0.25 * near + 0.20 * var
+                 + 0.10 * hole_frac
+                 + 0.10 * jnp.minimum(per_area / 0.2, 1.0)
+                 + 0.05 * jnp.minimum(comps.astype(jnp.float32), 3.0))
+        return {"entropy_mean": ent, "frac_near_0p5": near,
+                "tta_var_mean": var,
+                "components": comps.astype(jnp.int32),
+                "hole_fraction": hole_frac,
+                "perimeter_over_area": per_area, "composite": score}
+
+    return metrics
+
+
+def mining_program(members: Sequence[EnsembleMember], mean, std,
+                   threshold: float, delta_near: float):
+    """The whole per-batch mining computation as ONE jitted program:
+    fn(images_u8 [B,H,W,3]) -> dict of per-image metric arrays [B].
+
+    Fuses what round 4 ran as TWO dispatches (ensemble+TTA forward,
+    then metrics) — each dispatch carries ~19 ms fixed host overhead on
+    this runtime (CLAUDE.md) — and replaces the per-image vmapped CC /
+    hole-fill with whole-batch passes that hit the Pallas VMEM CC
+    kernel. Math identical to forward + _metrics_fn
+    (tests/test_mining.py::test_fused_program_matches_separate).
+    Reference: mine_hard_cases.py:138-254 runs this per image (bs=1)
+    on the host."""
+    from cartseg_tpu.infer.engine import _ensemble_forward_body, _tta_body
+
+    forward_tta = _tta_body(_ensemble_forward_body(members, mean, std))
+    body = _metrics_body(threshold, delta_near)
+
+    @jax.jit
+    def program(images_u8):
+        probs, probs_flip = forward_tta(images_u8)
+        return body(probs, probs_flip)
+
+    return program
+
+
 def _metrics_fn(threshold: float, delta: float):
     @jax.jit
     def metrics(probs, probs_flip):
@@ -111,8 +194,8 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
 
     mean = IMAGENET_MEAN if cfg.imagenet_norm else (0, 0, 0)
     std = IMAGENET_STD if cfg.imagenet_norm else (1, 1, 1)
-    fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
-    metrics = _metrics_fn(cfg.threshold, cfg.delta_near)
+    program = mining_program(members, mean, std, cfg.threshold,
+                             cfg.delta_near)
 
     rows = []
     S = cfg.img_size
@@ -123,9 +206,7 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
         if not batch:
             return
         jimgs = jnp.asarray(np.stack(batch))
-        probs, probs_flip = fwd(jimgs)
-        out = {k: np.asarray(v) for k, v in
-               metrics(probs, probs_flip).items()}
+        out = {k: np.asarray(v) for k, v in program(jimgs).items()}
         for i, p in enumerate(metas):
             rows.append({"path": str(p),
                          **{k: float(out[k][i]) for k in out}})
@@ -155,6 +236,7 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
     log(f"Saved {len(df)} rows to {csv_path}")
 
     if cfg.save_previews:
+        fwd = ensemble_probs_fn(members, mean, std, tta_flip=True)
         _save_previews(df.head(cfg.preview_top_k), fwd, cfg, out_dir, log)
     return df
 

@@ -187,6 +187,37 @@ def test_mine_hard_cases_end_to_end(tmp_path):
         assert c in df.columns
 
 
+def test_mining_fused_program_matches_separate():
+    """mining_program (one dispatch, batched CC/hole-fill) must equal
+    the separate forward + per-image _metrics_fn path exactly."""
+    from cartseg_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from cartseg_tpu.infer.engine import ensemble_probs_fn
+    from cartseg_tpu.infer.mining import _metrics_fn, mining_program
+
+    members = _members(2)
+    rng = np.random.default_rng(0)
+    base = rng.random((3, 8, 8, 3)).astype(np.float32)
+    import jax.image as jimage
+    up = np.asarray(jimage.resize(jnp.asarray(base), (3, 32, 32, 3),
+                                  "linear"))
+    imgs = jnp.asarray((up * 255).astype(np.uint8))
+
+    program = mining_program(members, IMAGENET_MEAN, IMAGENET_STD,
+                             0.5, 0.05)
+    fused = {k: np.asarray(v) for k, v in program(imgs).items()}
+
+    fwd = ensemble_probs_fn(members, IMAGENET_MEAN, IMAGENET_STD,
+                            tta_flip=True)
+    probs, probs_flip = fwd(imgs)
+    sep = {k: np.asarray(v) for k, v in
+           _metrics_fn(0.5, 0.05)(probs, probs_flip).items()}
+
+    assert set(fused) == set(sep)
+    for k in sep:
+        np.testing.assert_allclose(fused[k], sep[k], rtol=0, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_mining_composite_formula():
     # reference mine_hard_cases.py:189-190
     ent, near, var, holes, pa, comps = 0.4, 0.2, 0.05, 0.1, 0.5, 5

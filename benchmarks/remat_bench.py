@@ -9,13 +9,19 @@ benchmark answers with on-chip numbers (VERDICT r3 next-round #2: the
 roadmap asserted "remat adds recompute traffic" without a number).
 
 Lanes:
-  * none    — the current default step
-  * full    — jax.checkpoint over the whole forward (cfg.remat=True):
-              saves only the inputs; backward re-runs the entire net
-  * stages  — jax.checkpoint with save_only_these_names over the
-              encoder stage outputs + decoder output (the tags in
-              models/unet.py): backward recomputes only within each
-              stage, reading stage boundaries from HBM
+  * none       — the current default step
+  * full       — jax.checkpoint over the whole forward (cfg.remat=True):
+                 saves only the inputs; backward re-runs the entire net
+  * stages     — jax.checkpoint with save_only_these_names over the
+                 encoder stage outputs + decoder output (the tags in
+                 models/unet.py): backward recomputes only within each
+                 stage, reading stage boundaries from HBM
+  * f8stash    — forward unchanged; conv backward residuals for inputs
+                 with min(H,W) >= 56 stored in fp8-e4m3 instead of bf16
+                 (models/stash.py, VERDICT r4 #7): half the residual
+                 bytes on the high-res stages, NO recompute. dx exact,
+                 dw sees the quantized activation (tests/test_stash.py)
+  * f8stash_all — same with every conv stashed (min_hw=1)
 
     python -m benchmarks.remat_bench [--img 224] [--batch 128]
 
@@ -65,7 +71,7 @@ def build_step(img, batch, remat_lane: str):
         forward = jax.checkpoint(
             forward,
             policy=jax.checkpoint_policies.save_only_these_names(*names))
-    elif remat_lane != "none":
+    elif remat_lane not in ("none", "f8stash", "f8stash_all"):
         raise ValueError(remat_lane)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -91,6 +97,22 @@ def build_step(img, batch, remat_lane: str):
 
 
 def measure(img, batch, lane, warmup=10, steps=30):
+    import jax
+    import os
+
+    # CARTSEG_F8_STASH is read at TRACE time (models/stash.py) — set it
+    # for this lane's build+compile+measure, restore after
+    if lane == "f8stash":
+        os.environ["CARTSEG_F8_STASH"] = "56"
+    elif lane == "f8stash_all":
+        os.environ["CARTSEG_F8_STASH"] = "1"
+    try:
+        return _measure(img, batch, lane, warmup, steps)
+    finally:
+        os.environ.pop("CARTSEG_F8_STASH", None)
+
+
+def _measure(img, batch, lane, warmup=10, steps=30):
     import jax
 
     step, (params, stats, opt, images, masks) = build_step(img, batch,

@@ -11,6 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cartseg_tpu.models.norm import batch_norm
+from cartseg_tpu.models.stash import StashConv
 
 
 class BasicBlock(nn.Module):
@@ -22,19 +23,19 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         norm = lambda name: batch_norm(not train, self.dtype, name)
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = StashConv(self.features, (3, 3),
+                      strides=(self.stride, self.stride),
+                      padding=1, dtype=self.dtype, name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = StashConv(self.features, (3, 3), padding=1,
+                      dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
-            residual = nn.Conv(self.features, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = StashConv(self.features, (1, 1),
+                                 strides=(self.stride, self.stride),
+                                 padding=0, dtype=self.dtype,
+                                 name="downsample_conv")(x)
             residual = norm("downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -51,8 +52,8 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        y = StashConv(64, (7, 7), strides=(2, 2), padding=3,
+                      dtype=self.dtype, name="conv1")(x)
         y = batch_norm(not train, self.dtype, "bn1")(y)
         y = nn.relu(y)
         feats.append(y)  # stride 2, 64ch

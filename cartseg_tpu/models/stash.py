@@ -1,0 +1,125 @@
+"""fp8 residual stash for conv backward — the last untested lever on
+the proven byte wall (VERDICT r4 next-round #7).
+
+docs/roofline.json pins the headline train step at ~97% of the
+HBM-traffic bound (36.8 GB/step); remat measured as ADDING bytes in
+this conv+BN net (docs/remat_bench.json — backward recompute re-reads
+the same inputs). The remaining idea: keep the forward bit-identical
+and store the conv inputs saved for backward in fp8 (e4m3) instead of
+bf16 — the weight-gradient then reads HALF the bytes for those
+residuals with NO recompute. Numerics:
+
+  * forward: unchanged (the fp8 copy is written alongside, never read
+    by the forward);
+  * dx: exact — it contracts only dy with the kernel;
+  * dw: sees the fp8-quantized activation (e4m3: 3 mantissa bits,
+    max 448 — post-BN/relu activations are O(1-10), imagenet-normalized
+    inputs are within ±3, so range is safe; precision loss is bounded
+    by tests/test_stash.py against autodiff).
+
+Both gradients are derived with jax.linear_transpose of the primal
+conv (conv is bilinear: fixing either operand leaves a linear map), so
+they lower to exactly the convolutions XLA's autodiff would emit — no
+hand-written dimension_numbers to get wrong.
+
+Gate: CARTSEG_F8_STASH=<min_hw> (trace-time) stashes every StashConv
+whose input spatial size is >= min_hw; unset/0 = off (the default
+path is byte-for-byte the previous nn.Conv lowering). A/B:
+benchmarks/remat_bench.py --lanes none,f8stash.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+F8 = jnp.float8_e4m3fn
+
+
+def stash_min_hw() -> int:
+    """0 = stashing disabled."""
+    try:
+        return int(os.environ.get("CARTSEG_F8_STASH", "0"))
+    except ValueError:
+        return 0
+
+
+def _conv(x, k, strides, padding, lhs_dilation=(1, 1)):
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=strides, padding=padding,
+        lhs_dilation=lhs_dilation, dimension_numbers=_DN)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def conv_f8stash(x, k, strides, padding, lhs_dilation=(1, 1)):
+    """Same lowering as the plain conv; only the saved-for-backward
+    residual differs (x is stored as fp8). lhs_dilation covers the
+    fused decoder's stride-2 transposed conv (models/unet.py)."""
+    return _conv(x, k, strides, padding, lhs_dilation)
+
+
+def _conv_f8stash_fwd(x, k, strides, padding, lhs_dilation):
+    # x and k share the compute dtype at every call site (StashConv /
+    # FusedUpsampleConv cast both), so k.dtype recovers x's dtype in bwd
+    y = _conv(x, k, strides, padding, lhs_dilation)
+    return y, (x.astype(F8), k)
+
+
+def _conv_f8stash_bwd(strides, padding, lhs_dilation, res, dy):
+    x8, k = res
+    xq = x8.astype(k.dtype)
+    # transpose the two linearizations of the bilinear conv: these are
+    # the exact adjoint convolutions autodiff would build
+    dx = jax.linear_transpose(
+        lambda t: _conv(t, k, strides, padding, lhs_dilation),
+        jax.ShapeDtypeStruct(x8.shape, k.dtype))(dy)[0]
+    dk = jax.linear_transpose(
+        lambda t: _conv(xq, t, strides, padding, lhs_dilation),
+        jax.ShapeDtypeStruct(k.shape, k.dtype))(dy)[0]
+    return dx, dk
+
+
+conv_f8stash.defvjp(_conv_f8stash_fwd, _conv_f8stash_bwd)
+
+
+class StashConv(nn.Module):
+    """Drop-in for `nn.Conv(features, kernel_size, strides, padding,
+    use_bias, dtype)` (NHWC, symmetric int padding) whose backward
+    residual is fp8 when CARTSEG_F8_STASH is active for this input
+    size. Param names/shapes/init match nn.Conv exactly ('kernel'
+    HWIO lecun-normal fp32, optional 'bias' zeros), so checkpoints and
+    the torch importer see no difference."""
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        p = self.padding
+        pad = ((p, p), (p, p))
+        min_hw = stash_min_hw()
+        if min_hw and min(x.shape[1], x.shape[2]) >= min_hw:
+            y = conv_f8stash(x, k, tuple(self.strides), pad, (1, 1))
+        else:
+            y = _conv(x, k, tuple(self.strides), pad)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from cartseg_tpu.models.norm import batch_norm
+from cartseg_tpu.models.stash import StashConv
 
 
 def _upsample2x(x):
@@ -125,18 +126,33 @@ class FusedUpsampleConv(nn.Module):
         # docs/BENCHMARKS.md), so autodiff stays the default; the
         # custom lane is kept as the parity-tested experiment.
         import os
+        from cartseg_tpu.models.stash import conv_f8stash, stash_min_hw
+        min_hw = stash_min_hw()
+
+        def stash_up(x):
+            # output spatial = 2x input: gate on the OUTPUT size so the
+            # decision matches the equivalent plain-decoder conv1
+            return min_hw and 2 * min(x.shape[1], x.shape[2]) >= min_hw
+
         if os.environ.get("CARTSEG_UPCONV_VJP", "0") != "0":
             y = _upconv2x(x.astype(self.dtype), k4)
+        elif stash_up(x):
+            y = conv_f8stash(x.astype(self.dtype), k4, (1, 1),
+                             ((2, 2), (2, 2)), (2, 2))
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), k4, window_strides=(1, 1),
                 padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
                 dimension_numbers=dn)
         if skip is not None:
-            y = y + jax.lax.conv_general_dilated(
-                skip.astype(self.dtype), k_skip,
-                window_strides=(1, 1), padding=((1, 1), (1, 1)),
-                dimension_numbers=dn)
+            s = skip.astype(self.dtype)
+            if min_hw and min(s.shape[1], s.shape[2]) >= min_hw:
+                y = y + conv_f8stash(s, k_skip, (1, 1),
+                                     ((1, 1), (1, 1)), (1, 1))
+            else:
+                y = y + jax.lax.conv_general_dilated(
+                    s, k_skip, window_strides=(1, 1),
+                    padding=((1, 1), (1, 1)), dimension_numbers=dn)
         return y
 
 
@@ -155,11 +171,11 @@ class DecoderBlock(nn.Module):
             x = _upsample2x(x)
             if skip is not None:
                 x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name="conv1")(x)
+            x = StashConv(self.features, (3, 3), padding=1,
+                          dtype=self.dtype, name="conv1")(x)
         x = nn.relu(norm("bn1")(x))
-        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(x)
+        x = StashConv(self.features, (3, 3), padding=1,
+                      dtype=self.dtype, name="conv2")(x)
         return nn.relu(norm("bn2")(x))
 
 
@@ -187,8 +203,9 @@ class SegmentationHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.classes, (3, 3), padding=1,
-                       dtype=self.dtype, name="conv")(x).astype(jnp.float32)
+        return StashConv(self.classes, (3, 3), padding=1, use_bias=True,
+                         dtype=self.dtype,
+                         name="conv")(x).astype(jnp.float32)
 
 
 class UNet(nn.Module):

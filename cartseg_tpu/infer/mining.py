@@ -114,11 +114,16 @@ def mining_program(members: Sequence[EnsembleMember], mean, std,
     fn(images_u8 [B,H,W,3]) -> dict of per-image metric arrays [B].
 
     Fuses what round 4 ran as TWO dispatches (ensemble+TTA forward,
-    then metrics) — each dispatch carries ~19 ms fixed host overhead on
-    this runtime (CLAUDE.md) — and replaces the per-image vmapped CC /
-    hole-fill with whole-batch passes that hit the Pallas VMEM CC
-    kernel. Math identical to forward + _metrics_fn
-    (tests/test_mining.py::test_fused_program_matches_separate).
+    then metrics) and makes both CC passes whole-batch so they hit the
+    Pallas VMEM fixpoint directly. Measured honestly
+    (benchmarks/mining_bench.py, docs/BENCHMARKS.md): at steady state
+    fused == two-dispatch (queued dispatches pipeline under the
+    100-220 ms of device time; and the vmapped legacy path reaches the
+    same batched kernel through CC's batching rule) — the fused form
+    is the default for structure (one executable, one readback per
+    batch), not a steady-state throughput win. Math identical to
+    forward + _metrics_fn
+    (tests/test_infer.py::test_mining_fused_program_matches_separate).
     Reference: mine_hard_cases.py:138-254 runs this per image (bs=1)
     on the host."""
     from cartseg_tpu.infer.engine import _ensemble_forward_body, _tta_body

@@ -63,26 +63,36 @@ def rle_fits(H: int, W: int, K: int) -> bool:
     )
 
 
-def _run_table(labels, size: int, K: int):
+def row_runs_precompute(labels, size: int):
+    """The three full-plane intermediates every RLE op needs:
+    (fg, is_start, x). Callers that wrap the RLE lane in a lax.cond
+    compute these ONCE outside the conditional (they are also what the
+    max-runs guard needs), instead of paying the pad/shift/cumsum
+    passes again inside the branch."""
+    fg = labels < size
+    # run start = fg pixel with bg (or edge) on its left — one shift
+    left_fg = jnp.pad(fg[..., :-1], [(0, 0)] * (fg.ndim - 1) + [(1, 0)])
+    is_start = fg & ~left_fg
+    # inclusive fg prefix per row; run j's length = x_{j+1} - x_j where
+    # x_j = prefix at start j and x_m = total + 1 (virtual next start)
+    x = lax.cumsum(fg.astype(jnp.int32), axis=fg.ndim - 1)
+    return fg, is_start, x
+
+
+def _run_table(labels, size: int, K: int, pre=None):
     """Compacted row-run table.
 
     labels: [..., H, W] s32 (min-flat-index labels, `size` on bg).
     Returns (label_c, start_c, rowlen_c, valid_c) each [..., H, K],
     plus is_start [..., H, W] (needed again for the pixel route-back).
     Invalid slots: label_c == size, rowlen_c == 0.
+    pre: optional precomputed row_runs_precompute(labels, size).
     """
     H, W = labels.shape[-2:]
-    fg = labels < size
+    fg, is_start, x = pre if pre is not None else row_runs_precompute(
+        labels, size)
     col = jnp.arange(W, dtype=jnp.int32)
     col = jnp.broadcast_to(col, fg.shape)
-
-    # run start = fg pixel with bg (or edge) on its left — one shift
-    left_fg = jnp.pad(fg[..., :-1], [(0, 0)] * (fg.ndim - 1) + [(1, 0)])
-    is_start = fg & ~left_fg
-
-    # inclusive fg prefix per row; run j's length = x_{j+1} - x_j where
-    # x_j = prefix at start j and x_m = total + 1 (virtual next start)
-    x = lax.cumsum(fg.astype(jnp.int32), axis=fg.ndim - 1)
 
     # compaction row-sort: key = startcol (distinct, left-to-right run
     # order) else W; payload packs (label, x) into one s32 so the sort
@@ -180,16 +190,15 @@ def _broadcast_along_runs(start_vals, is_start, fg, bits_v: int):
     return jnp.where(fg & (s >= 0), s & ((1 << bits_v) - 1), 0)
 
 
-def max_runs_per_row(labels, size: int):
+def max_runs_per_row(labels, size: int, is_start=None):
     """Cheap pre-check for the lax.cond fallback: the max number of
     row-runs in any row of any image of the batch."""
-    fg = labels < size
-    left_fg = jnp.pad(fg[..., :-1], [(0, 0)] * (fg.ndim - 1) + [(1, 0)])
-    is_start = fg & ~left_fg
+    if is_start is None:
+        _, is_start, _ = row_runs_precompute(labels, size)
     return jnp.max(jnp.sum(is_start.astype(jnp.int32), axis=-1))
 
 
-def rle_area_at_least(labels, min_area: int, K: int):
+def rle_area_at_least(labels, min_area: int, K: int, pre=None):
     """bool [..., H, W]: component area >= min_area, via the run table.
     Exact iff every row has <= K runs (callers guard with
     max_runs_per_row).
@@ -203,7 +212,7 @@ def rle_area_at_least(labels, min_area: int, K: int):
     H, W = labels.shape[-2:]
     size = H * W
     label_c, start_c, rowlen_c, valid, is_start = _run_table(
-        labels, size, K)
+        labels, size, K, pre)
     s, area, q_s = _run_areas_sorted(label_c, rowlen_c, H, W, K)
     keep = ((area >= jnp.int32(min_area)) & (s < size)).astype(jnp.int32)
     # un-sort the keep bit to run-table order: q is a permutation, pack
@@ -219,7 +228,7 @@ def rle_area_at_least(labels, min_area: int, K: int):
         shifts = jnp.arange(chunk.shape[-1], dtype=jnp.int32)
         words.append(jnp.sum(chunk << shifts, axis=-1))
 
-    fg = labels < size
+    fg = pre[0] if pre is not None else labels < size
     # run index of each pixel within its row (0-based; valid on fg)
     r = lax.cumsum(is_start.astype(jnp.int32), axis=is_start.ndim - 1) - 1
     shift = r & 31

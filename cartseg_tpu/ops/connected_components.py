@@ -306,7 +306,8 @@ def component_area_at_least(labels, min_area: int, rle_k: int = 64):
     the flag is just `& 1`): a single-operand unstable sort instead of
     a key+payload sort."""
     from cartseg_tpu.ops.cc_stats_rle import (
-        max_runs_per_row, rle_area_at_least, rle_fits)
+        max_runs_per_row, rle_area_at_least, rle_fits,
+        row_runs_precompute)
 
     H, W = labels.shape[-2:]
     # packed key is p*2 + keep with p < H*W: needs H*W*2 <= 2^31
@@ -316,12 +317,16 @@ def component_area_at_least(labels, min_area: int, rle_k: int = 64):
     fg = labels < H * W
     if not (_rle_enabled() and rle_k < W and rle_fits(H, W, rle_k)):
         return _pixel_sort_area_at_least(labels, min_area) & fg
-    nmax = max_runs_per_row(labels, H * W)
+    # the fg/is_start/prefix planes feed BOTH the max-runs guard and
+    # the RLE branch — computing them outside the cond saves the
+    # branch re-paying the pad/shift/cumsum full-plane passes
+    pre = row_runs_precompute(labels, H * W)
+    nmax = max_runs_per_row(labels, H * W, is_start=pre[1])
     return jax.lax.cond(
         nmax <= rle_k,
-        lambda l: rle_area_at_least(l, min_area, rle_k),
-        lambda l: _pixel_sort_area_at_least(l, min_area) & fg,
-        labels)
+        lambda l, p: rle_area_at_least(l, min_area, rle_k, pre=p),
+        lambda l, p: _pixel_sort_area_at_least(l, min_area) & p[0],
+        labels, pre)
 
 
 def per_pixel_component_any(labels, flags):

@@ -114,6 +114,36 @@ def test_fused_program_matches_separate_calls(rng):
         np.asarray(pred_ref).reshape(3, -1).mean(axis=1), atol=1e-6)
 
 
+def test_fused_program_under_sharded_pjit(rng):
+    """Batch-parallel pseudo-labeling on a device mesh: the COMPLETE
+    fused program (ensemble + TTA + Pallas-CC clean + QC) jitted with
+    data-sharded inputs over all 8 CPU devices must reproduce the
+    single-device result exactly. This is the multi-chip serving story
+    for create_pseudo_labels_gpu.py's batched path — DP over ICI with
+    XLA inserting any needed collectives."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    members = _members(2)
+    x = jnp.asarray(rng.integers(0, 255, (8, 32, 32, 3), np.uint8))
+    program = pseudo_label_program(members, (0, 0, 0), (1, 1, 1), 4)
+    pred_1, probs_1, stats_1 = program(x, 0.5)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    xs = jax.device_put(x, sh)
+    sharded = jax.jit(program.__wrapped__,
+                      in_shardings=(sh, rep),
+                      out_shardings=(sh, sh, sh))
+    pred_s, probs_s, stats_s = sharded(xs, jnp.float32(0.5))
+    np.testing.assert_array_equal(np.asarray(pred_s), np.asarray(pred_1))
+    np.testing.assert_allclose(np.asarray(probs_s), np.asarray(probs_1),
+                               atol=1e-6)
+    for k in stats_1:
+        np.testing.assert_allclose(np.asarray(stats_s[k]),
+                                   np.asarray(stats_1[k]), atol=1e-6)
+
+
 def test_should_accept_gates():
     t = QCThresholds()
     good = dict(fg_area=0.1, fg_conf=0.9, mean_entropy=0.1,

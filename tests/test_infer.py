@@ -186,6 +186,38 @@ def test_generate_pseudo_labels_end_to_end(tmp_path):
     assert len(rows) > 1
 
 
+def test_generate_pseudo_labels_mesh_matches_single(tmp_path):
+    """use_mesh=True (batch sharded over the 8 CPU devices) must write
+    byte-identical masks and QC rows to the single-device run — the
+    workload-level face of the fused-program sharding test."""
+    ir, _ = make_synthetic_tree(tmp_path, n_sessions=2, per_session=4,
+                                hw=(48, 64))
+    members = _members(1)
+
+    def run(out, use_mesh):
+        cfg = PseudoLabelConfig(
+            images_root=str(ir), out_dir=str(tmp_path / out),
+            img_size=32, threshold=0.5, batch_size=8,
+            save_overlays=False, save_probs=False,
+            qc=QCThresholds(min_fg_area=0, max_fg_area=1, min_fg_conf=0,
+                            max_mean_entropy=10, min_tta_iou=0,
+                            min_edge_hit=0),
+            max_per_bucket=10, use_mesh=use_mesh)
+        return generate_pseudo_labels(members, cfg, log=lambda *a: None)
+
+    out_m = run("mesh", True)
+    out_s = run("single", False)
+    assert out_m["accepted"] == out_s["accepted"] > 0
+    masks_m = sorted((tmp_path / "mesh").rglob("session_*/*.png"))
+    masks_s = sorted((tmp_path / "single").rglob("session_*/*.png"))
+    assert [m.name for m in masks_m] == [m.name for m in masks_s]
+    for a, b in zip(masks_m, masks_s):
+        assert a.read_bytes() == b.read_bytes()
+    rows_m = (tmp_path / "mesh" / "qc_scores.csv").read_text()
+    rows_s = (tmp_path / "single" / "qc_scores.csv").read_text()
+    assert rows_m == rows_s
+
+
 def test_generate_pseudo_labels_rejection_routes_to_uncertain(tmp_path):
     ir, _ = make_synthetic_tree(tmp_path, n_sessions=1, per_session=2,
                                 hw=(48, 64))

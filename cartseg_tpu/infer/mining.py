@@ -49,6 +49,10 @@ class MiningConfig:
     seed: int = 1337
     save_previews: bool = False
     preview_top_k: int = 50
+    # batch-parallel scoring over the 1-D data mesh when >1 device is
+    # visible and batch_size divides them (same semantics as
+    # PseudoLabelConfig.use_mesh / the train engine)
+    use_mesh: bool = True
 
 
 def _metrics_body(threshold: float, delta: float):
@@ -202,6 +206,27 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
     program = mining_program(members, mean, std, cfg.threshold,
                              cfg.delta_near)
 
+    # data-parallel mesh with the engine's loud-fallback semantics
+    batch_sh = None
+    n_dev = len(jax.devices())
+    if cfg.use_mesh and n_dev > 1:
+        if cfg.batch_size % n_dev:
+            import warnings
+            warnings.warn(
+                f"mine_hard_cases: batch_size={cfg.batch_size} does not "
+                f"divide over the {n_dev} visible devices — data-parallel "
+                f"mesh DISABLED; scoring runs on ONE device. Pick "
+                f"batch_size a multiple of {n_dev} or use_mesh=False to "
+                f"silence this.", stacklevel=2)
+        else:
+            from cartseg_tpu.parallel.mesh import (
+                batch_sharding, data_mesh)
+            batch_sh = batch_sharding(data_mesh())
+            program = jax.jit(program.__wrapped__,
+                              in_shardings=(batch_sh,),
+                              out_shardings=batch_sh)
+            log(f"mesh: data-parallel over {n_dev} devices")
+
     rows = []
     S = cfg.img_size
     batch, metas = [], []
@@ -210,7 +235,13 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
         nonlocal batch, metas
         if not batch:
             return
-        jimgs = jnp.asarray(np.stack(batch))
+        # tail cycle-padded to the compiled batch shape (one trace);
+        # only metas rows are read back out
+        pad = (-len(batch)) % cfg.batch_size
+        stacked = np.stack(batch + [batch[0]] * pad)
+        jimgs = jnp.asarray(stacked)
+        if batch_sh is not None:
+            jimgs = jax.device_put(jimgs, batch_sh)
         out = {k: np.asarray(v) for k, v in program(jimgs).items()}
         for i, p in enumerate(metas):
             rows.append({"path": str(p),

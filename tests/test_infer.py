@@ -231,6 +231,29 @@ def test_generate_pseudo_labels_rejection_routes_to_uncertain(tmp_path):
     assert list((tmp_path / "p2" / "uncertain").rglob("*.png"))
 
 
+def test_mine_hard_cases_mesh_matches_single(tmp_path):
+    """Mesh-sharded mining scores must equal the single-device run
+    row-for-row (incl. a cycle-padded tail batch)."""
+    ir, _ = make_synthetic_tree(tmp_path, n_sessions=2, per_session=5,
+                                hw=(48, 64))
+    members = _members(1)
+
+    def run(out, use_mesh):
+        cfg = MiningConfig(images_root=str(ir),
+                           out_dir=str(tmp_path / out), img_size=32,
+                           batch_size=8, sample_size=None,
+                           use_mesh=use_mesh)
+        return mine_hard_cases(members, cfg, log=lambda *a: None)
+
+    df_m = run("mesh", True)
+    df_s = run("single", False)
+    assert list(df_m["path"]) == list(df_s["path"])
+    for col in ("entropy_mean", "components", "hole_fraction",
+                "composite"):
+        np.testing.assert_allclose(df_m[col].to_numpy(),
+                                   df_s[col].to_numpy(), atol=1e-6)
+
+
 def test_mine_hard_cases_end_to_end(tmp_path):
     ir, _ = make_synthetic_tree(tmp_path, n_sessions=2, per_session=3,
                                 hw=(48, 64))

@@ -208,24 +208,11 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
 
     # data-parallel mesh with the engine's loud-fallback semantics
     batch_sh = None
-    n_dev = len(jax.devices())
-    if cfg.use_mesh and n_dev > 1:
-        if cfg.batch_size % n_dev:
-            import warnings
-            warnings.warn(
-                f"mine_hard_cases: batch_size={cfg.batch_size} does not "
-                f"divide over the {n_dev} visible devices — data-parallel "
-                f"mesh DISABLED; scoring runs on ONE device. Pick "
-                f"batch_size a multiple of {n_dev} or use_mesh=False to "
-                f"silence this.", stacklevel=2)
-        else:
-            from cartseg_tpu.parallel.mesh import (
-                batch_sharding, data_mesh)
-            batch_sh = batch_sharding(data_mesh())
-            program = jax.jit(program.__wrapped__,
-                              in_shardings=(batch_sh,),
-                              out_shardings=batch_sh)
-            log(f"mesh: data-parallel over {n_dev} devices")
+    if cfg.use_mesh:
+        from cartseg_tpu.parallel.mesh import shard_inference_program
+        program, batch_sh = shard_inference_program(
+            program, cfg.batch_size, n_sharded_args=1,
+            name="mine_hard_cases", log=log)
 
     rows = []
     S = cfg.img_size
@@ -239,9 +226,10 @@ def mine_hard_cases(members: Sequence[EnsembleMember], cfg: MiningConfig,
         # only metas rows are read back out
         pad = (-len(batch)) % cfg.batch_size
         stacked = np.stack(batch + [batch[0]] * pad)
-        jimgs = jnp.asarray(stacked)
-        if batch_sh is not None:
-            jimgs = jax.device_put(jimgs, batch_sh)
+        # device_put the host array with its sharding directly (a
+        # jnp.asarray first would double the H2D through device 0)
+        jimgs = (jax.device_put(stacked, batch_sh)
+                 if batch_sh is not None else jnp.asarray(stacked))
         out = {k: np.asarray(v) for k, v in program(jimgs).items()}
         for i, p in enumerate(metas):
             rows.append({"path": str(p),
@@ -281,9 +269,11 @@ def _save_previews(df, fwd, cfg: MiningConfig, out_dir: Path, log):
     """Triptych previews for the top-ranked candidates
     (mine_hard_cases.py:215-252): image | prob heatmap | mask overlay.
 
-    Inference runs at cfg.batch_size (tail cycle-padded) so it reuses
-    the program already compiled during scoring — a bs-1 call would
-    trigger a fresh multi-minute compile on this runtime."""
+    Previews need the probability maps, which the fused scoring
+    program does not return, so this pass compiles its own
+    ensemble+TTA executable — ONCE: inference runs at cfg.batch_size
+    with the tail cycle-padded, so a bs-1 tail can't trigger a second
+    multi-minute compile on this runtime."""
     import cv2
 
     pdir = out_dir / "previews"

@@ -132,29 +132,14 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
         edge_threshold=cfg.edge_threshold, edge_method=cfg.edge_method,
         canny_low=cfg.canny_low, canny_high=cfg.canny_high)
 
-    # batch-parallel mesh, mirroring train/engine.py's loud-fallback
+    # batch-parallel mesh with the train engine's loud-fallback
     # semantics (VERDICT r3 #6): never silently run slower than asked
     batch_sh = None
-    n_dev = len(jax.devices())
-    if cfg.use_mesh and n_dev > 1:
-        if cfg.batch_size % n_dev:
-            import warnings
-            warnings.warn(
-                f"generate_pseudo_labels: batch_size={cfg.batch_size} "
-                f"does not divide over the {n_dev} visible devices — "
-                f"data-parallel mesh DISABLED; inference runs on ONE "
-                f"device. Pick batch_size a multiple of {n_dev} or "
-                f"use_mesh=False to silence this.", stacklevel=2)
-        else:
-            from cartseg_tpu.parallel.mesh import (
-                batch_sharding, data_mesh, replicated_sharding)
-            mesh = data_mesh()
-            batch_sh = batch_sharding(mesh)
-            program = jax.jit(
-                program.__wrapped__,
-                in_shardings=(batch_sh, replicated_sharding(mesh)),
-                out_shardings=(batch_sh, batch_sh, batch_sh))
-            log(f"mesh: data-parallel over {n_dev} devices")
+    if cfg.use_mesh:
+        from cartseg_tpu.parallel.mesh import shard_inference_program
+        program, batch_sh = shard_inference_program(
+            program, cfg.batch_size, n_sharded_args=1,
+            n_replicated_args=1, name="generate_pseudo_labels", log=log)
 
     paths = sorted(p for p in root.rglob("*")
                    if p.suffix.lower() in IMG_EXTS)
@@ -201,9 +186,11 @@ def generate_pseudo_labels(members: Sequence[EnsembleMember],
     for imgs, metas in batches():
         if counter >= cfg.max_masks:
             break
-        jimgs = jnp.asarray(imgs)
-        if batch_sh is not None:
-            jimgs = jax.device_put(jimgs, batch_sh)
+        # device_put the HOST array with its sharding directly — going
+        # through jnp.asarray first would commit the whole batch to
+        # device 0 and then reshard it (double H2D over this relay)
+        jimgs = (jax.device_put(imgs, batch_sh) if batch_sh is not None
+                 else jnp.asarray(imgs))
         # fg_area in stats is already refreshed on the cleaned mask
         # (reference computes it after clean_mask,
         # create_pseudo_labels.py:235)

@@ -66,9 +66,12 @@ def conv_f8stash(x, k, strides, padding, lhs_dilation=(1, 1)):
 
 def _conv_f8stash_fwd(x, k, strides, padding, lhs_dilation):
     # x and k share the compute dtype at every call site (StashConv /
-    # FusedUpsampleConv cast both), so k.dtype recovers x's dtype in bwd
+    # FusedUpsampleConv cast both), so k.dtype recovers x's dtype in bwd.
+    # Saturate before the cast: e4m3fn has NO inf, so |x| > 448 would
+    # round-trip to NaN and silently poison dk (standard fp8 recipe)
     y = _conv(x, k, strides, padding, lhs_dilation)
-    return y, (x.astype(F8), k)
+    f8_max = jnp.asarray(448.0, x.dtype)
+    return y, (jnp.clip(x, -f8_max, f8_max).astype(F8), k)
 
 
 def _conv_f8stash_bwd(strides, padding, lhs_dilation, res, dy):

@@ -121,7 +121,15 @@ def _run_table(labels, size: int, K: int, pre=None):
 
 def _segmented_prefix_sum(v, same):
     """Shift-doubling inclusive prefix sum along the last axis within
-    segments (same[i] == position i-1 is in my segment)."""
+    segments (same[i] == position i-1 is in my segment).
+
+    NOTE: connected_components._segmented_prefix is the general
+    (combine, identity) form of this over the _shift_fill idiom; this
+    copy stays specialized to (+, 0) with jnp.pad shifts because the
+    run table it scans is K-compacted (tiny — [..,H*K]), where the
+    concat-vs-pad lowering difference that motivated _shift_fill on
+    full planes is immaterial. Fix bugs in BOTH if the scan logic ever
+    changes."""
     n = v.shape[-1]
     r = same
     k = 1
@@ -259,14 +267,14 @@ def rle_area_plane(labels, K: int):
                                  bits_v=bits_area)
 
 
-def rle_largest_label(labels, K: int):
+def rle_largest_label(labels, K: int, pre=None):
     """(best_label, best_area) per image — reductions in run space, no
     un-sort or route-back needed. Ties on area -> min label (cv2's
     first-encountered rule, as in keep_largest_component)."""
     H, W = labels.shape[-2:]
     size = H * W
     label_c, start_c, rowlen_c, valid, is_start = _run_table(
-        labels, size, K)
+        labels, size, K, pre)
     s, area, _ = _run_areas_sorted(label_c, rowlen_c, H, W, K)
     area = jnp.where(s < size, area, 0)
     best_area = jnp.max(area, axis=-1)

@@ -376,7 +376,8 @@ def keep_largest_component(mask, max_iter: int = 4096, rle_k: int = 64):
     un-sort or pixel route-back at all; lax.cond falls back to the
     full-plane lane when any row has more than rle_k runs."""
     from cartseg_tpu.ops.cc_stats_rle import (
-        max_runs_per_row, rle_fits, rle_largest_label)
+        max_runs_per_row, rle_fits, rle_largest_label,
+        row_runs_precompute)
 
     mask = jnp.asarray(mask, bool)
     H, W = mask.shape[-2:]
@@ -386,11 +387,15 @@ def keep_largest_component(mask, max_iter: int = 4096, rle_k: int = 64):
             and mask.ndim == 2):
         return _pixel_sort_largest(mask, labels, size)
 
+    # shared with the max-runs guard — hoisted out of the cond exactly
+    # as in component_area_at_least (full-plane pad/shift/cumsum passes)
+    pre = row_runs_precompute(labels, size)
+
     def fast(l):
-        best_label, best_area = rle_largest_label(l, rle_k)
+        best_label, best_area = rle_largest_label(l, rle_k, pre=pre)
         return mask & (l == best_label) & (best_area > 0)
 
-    nmax = max_runs_per_row(labels, size)
+    nmax = max_runs_per_row(labels, size, is_start=pre[1])
     return jax.lax.cond(nmax <= rle_k, fast,
                         lambda l: _pixel_sort_largest(mask, l, size),
                         labels)

@@ -59,6 +59,53 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def shard_inference_program(jitted_program, batch_size: int,
+                            n_sharded_args: int = 1,
+                            n_replicated_args: int = 0,
+                            name: str = "inference", log=print):
+    """Data-parallel wrapper for a jitted inference program with the
+    train engine's loud-fallback semantics: returns
+    (program, batch_sharding) with batch_sharding=None (program
+    unchanged) on a single device or an indivisible batch (the latter
+    WARNS rather than silently running slower than asked).
+
+    When the mesh engages, the Mosaic (Pallas) lanes of the CC/median
+    QC ops are forced to their XLA oracles for this process
+    (CARTSEG_PALLAS_CC=0 / CARTSEG_PALLAS_MEDIAN=0, read at trace
+    time): a pallas_call is an opaque custom call to the SPMD
+    partitioner, which would REPLICATE it — all-gathering the sharded
+    batch onto every chip — instead of partitioning it, so the Pallas
+    lanes would silently erase the data-parallel speedup they were
+    meant to ride (the same reason norm.py keeps flax BN as the
+    mesh-correct default). The XLA lanes are plain jnp programs that
+    GSPMD shards cleanly, and they double as the Pallas kernels' exact
+    parity oracles, so results are unchanged."""
+    import os
+    import warnings
+
+    n_dev = len(jax.devices())
+    if n_dev <= 1:
+        return jitted_program, None
+    if batch_size % n_dev:
+        warnings.warn(
+            f"{name}: batch_size={batch_size} does not divide over the "
+            f"{n_dev} visible devices — data-parallel mesh DISABLED; "
+            f"running on ONE device. Pick batch_size a multiple of "
+            f"{n_dev} or use_mesh=False to silence this.", stacklevel=3)
+        return jitted_program, None
+    os.environ["CARTSEG_PALLAS_CC"] = "0"
+    os.environ["CARTSEG_PALLAS_MEDIAN"] = "0"
+    mesh = data_mesh()
+    sh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    program = jax.jit(
+        jitted_program.__wrapped__,
+        in_shardings=(sh,) * n_sharded_args + (rep,) * n_replicated_args,
+        out_shardings=sh)
+    log(f"mesh: data-parallel over {n_dev} devices (XLA QC lanes)")
+    return program, sh
+
+
 def local_device_count() -> int:
     return jax.local_device_count()
 

@@ -275,9 +275,10 @@ def main(argv=None):
                                    2),
         "peaks": {"hbm_gbps": HBM_GBPS, "mxu_bf16_tflops": MXU_TFLOPS},
         # full per-base-op attribution (the .N instances of each op
-        # summed): the table that shows e.g. the depthwise block's
-        # convert_reduce_fusion total next to the Pallas kernels
-        "agg_by_op_ms": report["top_ops_ms_per_step"],
+        # summed; sums to device_busy): the table that shows e.g. the
+        # depthwise block's convert_reduce_fusion total next to the
+        # Pallas kernels
+        "agg_by_op_ms": report["all_ops_ms_per_step"],
         "rows": rows,
     }
     print(json.dumps(summary, indent=1))

@@ -151,6 +151,9 @@ def aggregate_trace(tracedir: str, steps: int, hlo: str) -> dict:
                                  for k, v in sorted(cat.items(),
                                                     key=lambda kv: -kv[1])},
         "top_ops_ms_per_step": dict(list(per_step.items())[:25]),
+        # untruncated per-base-op attribution (sums to device busy);
+        # roofline.py records this as agg_by_op_ms
+        "all_ops_ms_per_step": per_step,
         "hot_fusions": hot,
     }
 

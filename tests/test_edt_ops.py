@@ -357,6 +357,31 @@ def test_cc_batch_pallas_matches_xla_lane():
         assert (ours == ref).all()
 
 
+def test_cc_ladder_lane_matches_plain():
+    """The bit-packed run-mask ladder lane (default since round 5,
+    docs/cc_ladder_bench.json) must be bit-identical to the
+    recompute-in-sweep lane for cc AND reach at both connectivities."""
+    from cartseg_tpu.ops.pallas.cc import (cc_batch_pallas,
+                                           reach_batch_pallas)
+
+    rng = np.random.default_rng(7)
+    m = rng.random((3, 48, 64)) < 0.45
+    m[2] = False
+    for conn in (8, 4):
+        a = np.asarray(cc_batch_pallas(jnp.asarray(m), connectivity=conn,
+                                       ladder=False))
+        b = np.asarray(cc_batch_pallas(jnp.asarray(m), connectivity=conn,
+                                       ladder=True))
+        assert (a == b).all()
+    weak = rng.random((3, 48, 64)) < 0.5
+    strong = weak & (rng.random((3, 48, 64)) < 0.1)
+    a = np.asarray(reach_batch_pallas(jnp.asarray(weak),
+                                      jnp.asarray(strong), ladder=False))
+    b = np.asarray(reach_batch_pallas(jnp.asarray(weak),
+                                      jnp.asarray(strong), ladder=True))
+    assert (a == b).all()
+
+
 def test_cc_batch_pallas_under_sharded_pjit():
     """The pseudo-label program jits CC over data-sharded batches on a
     mesh: the Pallas fixpoint's per-sample grid must survive pjit batch
